@@ -1,0 +1,200 @@
+"""Bit-packing of quantized integer weights into int32 words.
+
+Wire format is byte-compatible with the reference QuantLinear buffers
+(reference: quant/quant_linear.py:316-371):
+
+- ``qweight``  int32, shape (K // 32 * bits, N): integer codes packed along the
+  contraction (in-features) axis, little-endian within each 32-bit word.
+- ``qzeros``   int32, shape (G, N // 32 * bits): per-group zero-points MINUS ONE
+  (the reference's ``zeros -= 1`` offset, quant_linear.py:356) packed along the
+  out-features axis. Consumers add the 1 back (quant_linear.py:121).
+- ``scales``   fp16/fp32, shape (G, N).
+- ``g_idx``    int32, shape (K,): group index per in-feature row.
+
+The reference triton branch supports 2/4/8 bits only (quant_linear.py:308-309); this
+module adds the standard GPTQ 3-bit scheme (32 values -> 3 words: 10 values per word
+with values 10 and 21 straddling word boundaries) so INT3 checkpoints work too.
+
+Packing here is fully vectorized numpy (the reference loops per row in Python,
+quant_linear.py:342-371) plus jnp equivalents for on-device unpacking.
+
+Note on the zero==0 edge: the reference stores ``zero - 1`` in uint32 so an asymmetric
+zero-point of 0 wraps to ``maxq`` and dequantizes as ``maxq + 1``. We reproduce that
+behavior exactly for checkpoint parity (it only arises for all-non-negative rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+SUPPORTED_BITS = (2, 3, 4, 8)
+
+
+def _check_bits(bits: int) -> None:
+    if bits not in SUPPORTED_BITS:
+        raise NotImplementedError(f"Only {SUPPORTED_BITS} bits are supported, got {bits}.")
+
+
+# ---------------------------------------------------------------------------
+# numpy (host-side) pack/unpack along axis 0
+# ---------------------------------------------------------------------------
+
+def pack_rows(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Pack integer codes (K, N) -> int32 (K*bits//32, N) along axis 0."""
+    _check_bits(bits)
+    codes = np.ascontiguousarray(codes).astype(np.uint32)
+    k = codes.shape[0]
+    if bits == 3:
+        if k % 32 != 0:
+            raise ValueError(f"3-bit packing needs K % 32 == 0, got {k}")
+        v = codes.reshape(-1, 32, *codes.shape[1:])
+        w0 = np.zeros_like(v[:, 0])
+        for j in range(10):
+            w0 |= v[:, j] << (3 * j)
+        w0 |= (v[:, 10] & 0x3) << 30
+        w1 = v[:, 10] >> 2
+        for j in range(10):
+            w1 |= v[:, 11 + j] << (3 * j + 1)
+        w1 |= (v[:, 21] & 0x1) << 31
+        w2 = v[:, 21] >> 1
+        for j in range(10):
+            w2 |= v[:, 22 + j] << (3 * j + 2)
+        out = np.stack([w0, w1, w2], axis=1).reshape(-1, *codes.shape[1:])
+    else:
+        ipw = 32 // bits  # integers per word
+        if k % ipw != 0:
+            raise ValueError(f"{bits}-bit packing needs K % {ipw} == 0, got {k}")
+        v = codes.reshape(-1, ipw, *codes.shape[1:])
+        out = np.zeros_like(v[:, 0])
+        for j in range(ipw):
+            out |= (v[:, j] & ((1 << bits) - 1)) << (bits * j)
+    return out.astype(np.int32)
+
+
+def unpack_rows(packed: np.ndarray, bits: int, k: int | None = None) -> np.ndarray:
+    """Unpack int32 (K*bits//32, N) -> int32 codes (K, N) along axis 0."""
+    _check_bits(bits)
+    w = np.ascontiguousarray(packed).view(np.uint32) if packed.dtype == np.int32 else packed.astype(np.uint32)
+    if bits == 3:
+        c = w.reshape(-1, 3, *w.shape[1:])
+        w0, w1, w2 = c[:, 0], c[:, 1], c[:, 2]
+        vals = []
+        for j in range(10):
+            vals.append((w0 >> (3 * j)) & 0x7)
+        vals.append(((w0 >> 30) & 0x3) | ((w1 & 0x1) << 2))
+        for j in range(10):
+            vals.append((w1 >> (3 * j + 1)) & 0x7)
+        vals.append(((w1 >> 31) & 0x1) | ((w2 & 0x3) << 1))
+        for j in range(10):
+            vals.append((w2 >> (3 * j + 2)) & 0x7)
+        out = np.stack(vals, axis=1).reshape(-1, *w.shape[1:])
+    else:
+        ipw = 32 // bits
+        maxq = (1 << bits) - 1
+        vals = [(w >> (bits * j)) & maxq for j in range(ipw)]
+        out = np.stack(vals, axis=1).reshape(-1, *w.shape[1:])
+    if k is not None:
+        out = out[:k]
+    return out.astype(np.int32)
+
+
+def pack_cols(codes: np.ndarray, bits: int) -> np.ndarray:
+    """Pack integer codes (G, N) -> int32 (G, N*bits//32) along the last axis.
+
+    Used for qzeros (reference: quant_linear.py:358-368)."""
+    return np.ascontiguousarray(np.swapaxes(pack_rows(np.swapaxes(codes, 0, -1), bits), 0, -1))
+
+
+def unpack_cols(packed: np.ndarray, bits: int, n: int | None = None) -> np.ndarray:
+    """Unpack int32 (G, N*bits//32) -> codes (G, N) along the last axis."""
+    return np.ascontiguousarray(np.swapaxes(unpack_rows(np.swapaxes(packed, 0, -1), bits, k=n), 0, -1))
+
+
+# ---------------------------------------------------------------------------
+# jnp (device-side) unpack — used by the XLA fallback path and tests
+# ---------------------------------------------------------------------------
+
+def unpack_rows_jnp(packed, bits: int, k: int | None = None):
+    """jnp version of unpack_rows: int32 (K*bits//32, N) -> int32 (K, N)."""
+    _check_bits(bits)
+    w = packed.astype(jnp.uint32)
+    if bits == 3:
+        c = w.reshape(-1, 3, *w.shape[1:])
+        w0, w1, w2 = c[:, 0], c[:, 1], c[:, 2]
+        vals = [(w0 >> (3 * j)) & 0x7 for j in range(10)]
+        vals.append(((w0 >> 30) & 0x3) | ((w1 & 0x1) << 2))
+        vals += [(w1 >> (3 * j + 1)) & 0x7 for j in range(10)]
+        vals.append(((w1 >> 31) & 0x1) | ((w2 & 0x3) << 1))
+        vals += [(w2 >> (3 * j + 2)) & 0x7 for j in range(10)]
+        out = jnp.stack(vals, axis=1).reshape(-1, *w.shape[1:])
+    else:
+        ipw = 32 // bits
+        maxq = (1 << bits) - 1
+        vals = [(w >> (bits * j)) & maxq for j in range(ipw)]
+        out = jnp.stack(vals, axis=1).reshape(-1, *w.shape[1:])
+    if k is not None:
+        out = out[:k]
+    return out.astype(jnp.int32)
+
+
+def unpack_cols_jnp(packed, bits: int, n: int | None = None):
+    """jnp version of unpack_cols: int32 (G, N*bits//32) -> int32 (G, N)."""
+    out = unpack_rows_jnp(jnp.swapaxes(packed, 0, -1), bits, k=n)
+    return jnp.swapaxes(out, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# Full-tensor pack / dequantize
+# ---------------------------------------------------------------------------
+
+def quantize_weight_to_codes(w: np.ndarray, scales: np.ndarray, zeros: np.ndarray,
+                             g_idx: np.ndarray) -> np.ndarray:
+    """Recover integer codes from a (fake-quantized) weight.
+
+    w: (N, K) float (out, in) — torch layout, as produced by the GPTQ solver.
+    scales/zeros: (N, G) per-out-channel per-group. g_idx: (K,).
+    Returns codes (K, N) int — codes = round(w / scale + zero)
+    (reference: quant_linear.py:335-339 computes round((w + scale*zero)/scale)).
+    """
+    w = w.astype(np.float64)
+    s = scales.astype(np.float64)[:, g_idx]  # (N, K)
+    z = zeros.astype(np.float64)[:, g_idx]
+    codes = np.rint(w / s + z).astype(np.int64)
+    return codes.T.astype(np.int32)  # (K, N)
+
+
+def pack_quantized(w: np.ndarray, scales: np.ndarray, zeros: np.ndarray,
+                   g_idx: np.ndarray, bits: int) -> dict:
+    """Produce the packed buffer dict for one linear layer.
+
+    w (N, K) fake-quantized float weight; scales/zeros (N, G); g_idx (K,).
+    Returns {'qweight','qzeros','scales','g_idx'} in the reference wire format
+    (scales transposed to (G, N), qzeros offset by -1: quant_linear.py:328-371).
+    """
+    codes = quantize_weight_to_codes(w, scales, zeros, g_idx)  # (K, N)
+    qweight = pack_rows(codes, bits)
+    z = np.rint(zeros.T.astype(np.float64)).astype(np.int64)  # (G, N)
+    qzeros = pack_cols((z - 1).astype(np.uint32), bits)  # uint wrap reproduces reference
+    return {
+        "qweight": qweight,
+        "qzeros": qzeros,
+        "scales": scales.T.astype(np.float16),  # (G, N), fp16 like reference
+        "g_idx": g_idx.astype(np.int32),
+    }
+
+
+def dequantize(qweight, qzeros, scales, g_idx, bits: int, dtype=jnp.float32):
+    """Dequantize packed buffers to a dense (K, N) weight on device (jnp).
+
+    Matches the kernel semantics (q - (z_packed + 1)) * scale with per-row group
+    gather via g_idx (reference: quant_linear.py:113-128). This is the XLA
+    fallback / oracle for the fused Pallas kernels.
+    """
+    k = g_idx.shape[0]
+    codes = unpack_rows_jnp(qweight, bits, k=k)  # (K, N)
+    n = codes.shape[1]
+    zeros = unpack_cols_jnp(qzeros, bits, n=n) + 1  # (G, N)
+    s = scales.astype(jnp.float32)[g_idx]  # (K, N)
+    z = zeros[g_idx]
+    return ((codes - z).astype(jnp.float32) * s).astype(dtype)
