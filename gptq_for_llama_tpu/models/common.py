@@ -1,0 +1,104 @@
+"""Shared model building blocks: norms, RoPE, attention — pure jnp functions.
+
+fp32 is used for normalization statistics and softmax (the TPU-safe spots);
+everything else runs in the model compute dtype (bfloat16 by default — the MXU
+native type; the reference uses fp16 on GPU).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x, weight, eps: float):
+    """RMSNorm, fp32 statistics (reference kernel: quant/triton_norm.py:7-39)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def layer_norm(x, weight, bias, eps: float):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rope_cos_sin(positions, dim: int, theta: float, dtype=jnp.float32):
+    """cos/sin tables for rotary embedding.
+
+    positions: (..., seq) int32. Returns cos, sin with shape (..., seq, dim)
+    where the dim axis holds the duplicated-half layout (HF convention:
+    freqs concatenated twice, matching rotate_half; the reference fuses the
+    same math on the fly in quant/fused_attn.py:8-58 with BASE=10000).
+    """
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (..., seq, dim/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb).astype(dtype), jnp.sin(emb).astype(dtype)
+
+
+def rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rope(q, k, cos, sin, rotary_dim: int | None = None):
+    """Apply rotary embedding to q, k of shape (..., seq, heads, head_dim).
+
+    cos/sin: (..., seq, rotary_dim). rotary_dim < head_dim applies partial rotary
+    (GPT-NeoX rotary_pct, reference: neox models via HF)."""
+    cos = cos[..., :, None, :]
+    sin = sin[..., :, None, :]
+    if rotary_dim is None or rotary_dim == q.shape[-1]:
+        q2 = q * cos + rotate_half(q) * sin
+        k2 = k * cos + rotate_half(k) * sin
+        return q2.astype(q.dtype), k2.astype(k.dtype)
+    q_rot, q_pass = q[..., :rotary_dim], q[..., rotary_dim:]
+    k_rot, k_pass = k[..., :rotary_dim], k[..., rotary_dim:]
+    q_rot = q_rot * cos + rotate_half(q_rot) * sin
+    k_rot = k_rot * cos + rotate_half(k_rot) * sin
+    q2 = jnp.concatenate([q_rot, q_pass], axis=-1)
+    k2 = jnp.concatenate([k_rot, k_pass], axis=-1)
+    return q2.astype(q.dtype), k2.astype(k.dtype)
+
+
+def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
+    """Additive causal mask (q_len, kv_len); query i attends kv <= i + kv_len - q_len."""
+    qi = jnp.arange(q_len)[:, None]
+    kj = jnp.arange(kv_len)[None, :]
+    allowed = kj <= qi + (kv_len - q_len)
+    return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
+def sdpa(q, k, v, mask=None, scale: float | None = None):
+    """Scaled dot-product attention with fp32 softmax.
+
+    q: (B, Sq, H, D); k, v: (B, Skv, Hkv, D) with H a multiple of Hkv (GQA).
+    mask: additive (Sq, Skv) or (B, 1, Sq, Skv). Returns (B, Sq, H, D).
+    """
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    if h != hkv:
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        if mask.ndim == 2:
+            mask = mask[None, None]
+        logits = logits + mask
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out
+
+
+def activation(name: str):
+    return {"silu": jax.nn.silu, "relu": jax.nn.relu, "gelu": jax.nn.gelu,
+            "gelu_new": jax.nn.gelu, "gelu_fast": jax.nn.gelu}[name]

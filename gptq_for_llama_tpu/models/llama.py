@@ -1,0 +1,137 @@
+"""LLaMA architecture as pure functions over a parameter pytree.
+
+Replaces the reference's reliance on HF transformers' LlamaForCausalLM + module
+surgery (reference: llama.py:13-24, 279-325) with an owned, jit-friendly forward:
+RMSNorm -> (RoPE, GQA-ready attention) -> SiLU gate/up MLP, pre-norm residuals.
+
+Parameter layout (linear kernels stored (in, out) for `x @ w`):
+  embed_tokens: (V, H)
+  layers[i]:
+    input_layernorm, post_attention_layernorm: (H,)
+    self_attn.{q,k,v,o}_proj, mlp.{gate,up,down}_proj: dense dict or PackedLinear
+  norm: (H,)
+  lm_head: dense dict (kept fp16/bf16 — the reference never quantizes lm_head,
+  llama.py:270 excludes it)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import activation, apply_rope, causal_mask, rms_norm, rope_cos_sin, sdpa
+from .config import ModelConfig
+from ..ops.linear import dense, linear_apply
+
+NAME = "llama"
+
+LAYER_LINEARS = ("self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj",
+                 "self_attn.o_proj", "mlp.gate_proj", "mlp.up_proj", "mlp.down_proj")
+
+
+def sequential_groups(true_sequential: bool):
+    """Quantization order within a layer (reference: llama.py:86-90)."""
+    if true_sequential:
+        return [["self_attn.k_proj", "self_attn.v_proj", "self_attn.q_proj"],
+                ["self_attn.o_proj"],
+                ["mlp.up_proj", "mlp.gate_proj"],
+                ["mlp.down_proj"]]
+    return [list(LAYER_LINEARS)]
+
+
+def init_params(cfg: ModelConfig, rng, dtype=jnp.bfloat16):
+    """Random small model for tests (the reference has no equivalent — it always
+    loads HF checkpoints; tiny-random models are our CI vehicle, SURVEY.md §4)."""
+    keys = iter(jax.random.split(rng, 4 + cfg.num_layers * 8))
+    h, kvh = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
+    hid, inter = cfg.hidden_size, cfg.intermediate_size
+
+    def lin(k, i, o):
+        return dense((jax.random.normal(k, (i, o), jnp.float32) * (i ** -0.5)).astype(dtype))
+
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_layernorm": jnp.ones((hid,), dtype),
+            "post_attention_layernorm": jnp.ones((hid,), dtype),
+            "self_attn": {
+                "q_proj": lin(next(keys), hid, h),
+                "k_proj": lin(next(keys), hid, kvh),
+                "v_proj": lin(next(keys), hid, kvh),
+                "o_proj": lin(next(keys), h, hid),
+            },
+            "mlp": {
+                "gate_proj": lin(next(keys), hid, inter),
+                "up_proj": lin(next(keys), hid, inter),
+                "down_proj": lin(next(keys), inter, hid),
+            },
+        })
+    return {
+        "embed_tokens": jax.random.normal(next(keys), (cfg.vocab_size, hid), jnp.float32).astype(dtype) * 0.02,
+        "layers": layers,
+        "norm": jnp.ones((hid,), dtype),
+        "lm_head": lin(next(keys), hid, cfg.vocab_size),
+    }
+
+
+def embed(params, cfg: ModelConfig, input_ids):
+    return jnp.take(params["embed_tokens"], input_ids, axis=0)
+
+
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
+    """One decoder layer. x: (B, S, H). Returns (y, taps, (k, v) present).
+
+    taps maps each linear's dotted name to the activation feeding it — the
+    functional replacement for the reference's forward hooks (llama.py:98-107).
+    """
+    h_attn_in = rms_norm(x, lp["input_layernorm"], cfg.norm_eps)
+    att = lp["self_attn"]
+    q = linear_apply(att["q_proj"], h_attn_in)
+    k = linear_apply(att["k_proj"], h_attn_in)
+    v = linear_apply(att["v_proj"], h_attn_in)
+    b, s, _ = x.shape
+    q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
+    q, k = apply_rope(q, k, cos, sin)
+    if past_kv is not None:
+        k = jnp.concatenate([past_kv[0], k], axis=1)
+        v = jnp.concatenate([past_kv[1], v], axis=1)
+    attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
+    o = linear_apply(att["o_proj"], attn_out)
+    x = x + o
+
+    h_mlp_in = rms_norm(x, lp["post_attention_layernorm"], cfg.norm_eps)
+    mlp = lp["mlp"]
+    gate = linear_apply(mlp["gate_proj"], h_mlp_in)
+    up = linear_apply(mlp["up_proj"], h_mlp_in)
+    h_down_in = activation(cfg.act)(gate) * up
+    down = linear_apply(mlp["down_proj"], h_down_in)
+    y = x + down
+
+    taps = {
+        "self_attn.q_proj": h_attn_in, "self_attn.k_proj": h_attn_in,
+        "self_attn.v_proj": h_attn_in, "self_attn.o_proj": attn_out,
+        "mlp.gate_proj": h_mlp_in, "mlp.up_proj": h_mlp_in,
+        "mlp.down_proj": h_down_in,
+    }
+    return y, taps, (k, v)
+
+
+def head(params, cfg: ModelConfig, x):
+    """Final norm + lm_head (reference: llama.py:241-253)."""
+    x = rms_norm(x, params["norm"], cfg.norm_eps)
+    return linear_apply(params["lm_head"], x)
+
+
+def forward(params, cfg: ModelConfig, input_ids, positions=None):
+    """Full-model forward: (B, S) int32 -> (B, S, V) logits."""
+    b, s = input_ids.shape
+    if positions is None:
+        positions = jnp.arange(s)[None, :]
+    x = embed(params, cfg, input_ids)
+    mask = causal_mask(s, s)
+    for lp in params["layers"]:
+        x, _, _ = layer(cfg, lp, x, positions, mask)
+    return head(params, cfg, x)

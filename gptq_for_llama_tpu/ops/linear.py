@@ -1,0 +1,144 @@
+"""Linear-layer abstractions: dense and bit-packed quantized linears.
+
+The reference materializes quantized layers as nn.Modules swapped into a HF model
+(reference: quant/quant_linear.py:304-390). The TPU-native design instead makes the
+quantized tensor format a pytree node (`PackedLinear`) that lives directly inside the
+model's parameter pytree; "module replacement" is just substituting leaves.
+
+Act-order normalization: the reference kernel gathers per-row group ids on every
+K-tile (quant_linear.py:114-118), which is expensive on TPU. `PackedLinear.from_wire`
+instead re-orders the packed rows into group-sorted layout once at load time and
+stores the input permutation; the matmul applies the (cheap, K-sized) activation
+permutation and sees monotone groups (see SURVEY.md §7 hard-parts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..quant import packing
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PackedLinear:
+    """Quantized linear parameters in device layout.
+
+    qweight: int32 (K*bits//32, N) — rows group-sorted (monotone groups).
+    qzeros:  int32 (G, N*bits//32) — stored zero-1 (reference offset).
+    scales:  (G, N) fp16/fp32.
+    g_idx:   int32 (K,) — original wire-format group ids (kept for save/export).
+    perm:    int32 (K,) or None — input permutation applied to activations
+             (x[..., perm]); None when g_idx was already monotone.
+    bias:    (N,) or None.
+    Static: bits, groupsize, in_features, out_features.
+    """
+
+    qweight: jax.Array
+    qzeros: jax.Array
+    scales: jax.Array
+    g_idx: jax.Array
+    perm: Optional[jax.Array]
+    bias: Optional[jax.Array]
+    bits: int
+    groupsize: int
+    in_features: int
+    out_features: int
+
+    def tree_flatten(self):
+        children = (self.qweight, self.qzeros, self.scales, self.g_idx,
+                    self.perm, self.bias)
+        aux = (self.bits, self.groupsize, self.in_features, self.out_features)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_wire(cls, qweight, qzeros, scales, g_idx, bits: int,
+                  bias=None, dtype=jnp.bfloat16) -> "PackedLinear":
+        """Build the device layout from reference wire-format numpy buffers."""
+        qweight = np.asarray(qweight)
+        qzeros = np.asarray(qzeros)
+        scales = np.asarray(scales)
+        g_idx = np.asarray(g_idx).astype(np.int32)
+        k = g_idx.shape[0]
+        n = scales.shape[1]
+        num_groups = scales.shape[0]
+        groupsize = -(-k // num_groups)
+
+        perm = None
+        if np.any(np.diff(g_idx) < 0):  # act-order checkpoint: group-sort rows
+            perm = np.argsort(g_idx, kind="stable").astype(np.int32)
+            codes = packing.unpack_rows(qweight, bits, k=k)
+            qweight = packing.pack_rows(codes[perm], bits)
+
+        return cls(
+            qweight=jnp.asarray(qweight),
+            qzeros=jnp.asarray(qzeros),
+            scales=jnp.asarray(scales, dtype=dtype),
+            g_idx=jnp.asarray(g_idx),
+            perm=None if perm is None else jnp.asarray(perm),
+            bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
+            bits=bits, groupsize=groupsize, in_features=k, out_features=n,
+        )
+
+    def dequantize(self, dtype=jnp.bfloat16):
+        """Dense (K_sorted, N) weight in device row order (after perm)."""
+        codes = packing.unpack_rows_jnp(self.qweight, self.bits, k=self.in_features)
+        zeros = packing.unpack_cols_jnp(self.qzeros, self.bits, n=self.out_features) + 1
+        k, n = self.in_features, self.out_features
+        g = self.scales.shape[0]
+        s = self.scales.astype(jnp.float32)
+        if g * self.groupsize == k:
+            codes3 = codes.reshape(g, self.groupsize, n).astype(jnp.float32)
+            w = (codes3 - zeros[:, None, :].astype(jnp.float32)) * s[:, None, :]
+            return w.reshape(k, n).astype(dtype)
+        # ragged last group: fall back to a row gather
+        gid = jnp.minimum(jnp.arange(k) // self.groupsize, g - 1)
+        w = (codes.astype(jnp.float32) - zeros[gid].astype(jnp.float32)) * s[gid]
+        return w.astype(dtype)
+
+
+def quant_matmul_xla(x, lin: PackedLinear, dtype=jnp.bfloat16):
+    """XLA fallback path: dequantize-to-dense then MXU matmul.
+
+    XLA fuses the unpack/dequant elementwise chain into the matmul's operand
+    read for prefill shapes; the Pallas kernel (ops/pallas) replaces this on the
+    decode path where HBM traffic must be the packed weight only.
+    """
+    if lin.perm is not None:
+        x = jnp.take(x, lin.perm, axis=-1)
+    w = lin.dequantize(dtype)
+    y = jnp.matmul(x.astype(dtype), w)
+    if lin.bias is not None:
+        y = y + lin.bias
+    return y
+
+
+def linear_apply(lin, x, dtype=None):
+    """Apply a linear that is either dense ({'kernel': (K,N), 'bias':...}) or packed.
+
+    Compute dtype follows the activation dtype unless overridden."""
+    dtype = dtype or x.dtype
+    if isinstance(lin, PackedLinear):
+        from . import quant_matmul  # late import: dispatches XLA vs Pallas
+        return quant_matmul.quant_matmul(x, lin, dtype=dtype)
+    y = jnp.matmul(x.astype(dtype), lin["kernel"].astype(dtype))
+    b = lin.get("bias")
+    if b is not None:
+        y = y + b.astype(dtype)
+    return y
+
+
+def dense(kernel, bias=None):
+    d = {"kernel": kernel}
+    if bias is not None:
+        d["bias"] = bias
+    return d
