@@ -1,0 +1,188 @@
+"""Headline benchmark: LLaMA-7B INT4-g128 single-chip decode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no absolute tokens/s (its --benchmark prints median
+per-token latency on an RTX3090, reference llama.py:385-438); the north-star
+baseline is the chip's HBM roofline: decode is weight-bandwidth-bound, so
+  roofline tok/s = achievable_HBM_bytes_per_s / bytes_read_per_token.
+vs_baseline reports the fraction of that roofline achieved (target >= 0.85,
+BASELINE.md). Achievable bandwidth is MEASURED in-process with a big
+read-reduce probe (nominal peak is meaningless through the axon subslice
+relay). Weights are random in the real packed INT4-g128 wire layout —
+identical compute/memory behavior to a real checkpoint.
+
+Timing methodology: N greedy decode steps run inside ONE compiled program
+(lax.scan over the KV cache) — per-dispatch relay latency (~tens of ms here)
+would otherwise swamp per-token numbers.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_cfg(tiny: bool):
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    if tiny:
+        return ModelConfig(arch="llama", vocab_size=256, hidden_size=256,
+                           intermediate_size=512, num_layers=2, num_heads=4,
+                           num_kv_heads=4, head_dim=64, max_seq_len=256)
+    return ModelConfig(arch="llama", vocab_size=32000, hidden_size=4096,
+                       intermediate_size=11008, num_layers=32, num_heads=32,
+                       num_kv_heads=32, head_dim=128, max_seq_len=2048)
+
+
+def random_packed_llama(cfg, dtype, groupsize=128):
+    """Random weights directly in packed wire layout (fast: no pack step)."""
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.ops.linear import PackedLinear, dense
+
+    rng = np.random.RandomState(0)
+    shape_cache = {}
+
+    def packed(k, n):
+        # weight CONTENT is irrelevant to decode perf; one host array + one
+        # upload per unique shape (layers are stacked into fresh device
+        # buffers by the runner, so HBM traffic per token is still the full
+        # model — this only accelerates bench setup)
+        if (k, n) in shape_cache:
+            return shape_cache[(k, n)]
+        g = k // groupsize
+        qweight = rng.randint(-2**31, 2**31, size=(k * 4 // 32, n),
+                              dtype=np.int32)
+        scales = (rng.rand(g, n).astype(np.float32) * 0.004 + 0.001)
+        lin = PackedLinear(
+            qweight=jnp.asarray(qweight),
+            qzeros=jnp.zeros((g, n * 4 // 32), jnp.int32),
+            scales=jnp.asarray(scales, dtype=dtype),
+            zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), dtype=dtype),
+            g_idx=jnp.asarray((np.arange(k) // groupsize).astype(np.int32)),
+            perm=None, bias=None, bits=4, groupsize=groupsize,
+            in_features=k, out_features=n)
+        shape_cache[(k, n)] = lin
+        return lin
+
+    def emb(v, h, scale=0.02):
+        return (rng.rand(v, h).astype(np.float32) * scale).astype(np.float32)
+
+    import jax.numpy as jnp
+    h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_layernorm": jnp.ones((h,), dtype),
+            "post_attention_layernorm": jnp.ones((h,), dtype),
+            "self_attn": {
+                "q_proj": packed(h, cfg.num_heads * cfg.head_dim),
+                "k_proj": packed(h, cfg.num_kv_heads * cfg.head_dim),
+                "v_proj": packed(h, cfg.num_kv_heads * cfg.head_dim),
+                "o_proj": packed(cfg.num_heads * cfg.head_dim, h),
+            },
+            "mlp": {
+                "gate_proj": packed(h, inter),
+                "up_proj": packed(h, inter),
+                "down_proj": packed(inter, h),
+            },
+        })
+    return {
+        "embed_tokens": jnp.asarray(emb(v, h), dtype),
+        "layers": layers,
+        "norm": jnp.ones((h,), dtype),
+        "lm_head": dense(jnp.asarray(emb(v, h).T * 0.02, dtype)),
+    }
+
+
+def model_weight_bytes(cfg, groupsize=128):
+    """HBM bytes read per decode token: packed buffers + dense lm_head."""
+    h, inter = cfg.hidden_size, cfg.intermediate_size
+    qh = cfg.num_heads * cfg.head_dim
+    kvh = cfg.num_kv_heads * cfg.head_dim
+    shapes = [(h, qh), (h, kvh), (h, kvh), (qh, h),
+              (h, inter), (h, inter), (inter, h)]
+    per_layer = sum(k * n // 2                      # int4 codes
+                    + (k // groupsize) * n * 2 * 2  # scales + zeros (bf16)
+                    for k, n in shapes)
+    lm_head = cfg.vocab_size * h * 2                # bf16 dense
+    return cfg.num_layers * per_layer + lm_head
+
+
+def probe_hbm_bw():
+    """Measured achievable read bandwidth (GB/s) with a 1 GiB reduce loop."""
+    import jax
+    import jax.numpy as jnp
+    big = jnp.ones((512, 1024, 1024), jnp.bfloat16)
+
+    @jax.jit
+    def rloop(c):
+        def body(i, c):
+            return jnp.sum((big + c.astype(jnp.bfloat16)).astype(jnp.float32)) * 1e-12
+        return jax.lax.fori_loop(0, 10, body, c)
+
+    _ = np.asarray(rloop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    _ = np.asarray(rloop(jnp.float32(0)))
+    dt = (time.perf_counter() - t0) / 10
+    del big
+    return big_nbytes_gbps(dt)
+
+
+def big_nbytes_gbps(dt, nbytes=512 * 1024 * 1024 * 2):
+    return nbytes / dt / 1e9
+
+
+def main():
+    import sys
+    import jax
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.runtime import ModelRunner
+
+    def stage(msg, _t=[time.perf_counter()]):
+        now = time.perf_counter()
+        print(f"[bench +{now - _t[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
+        _t[0] = now
+
+    backend = jax.default_backend()
+    tiny = os.environ.get("BENCH_TINY", "") == "1" or backend == "cpu"
+    cfg = build_cfg(tiny)
+    dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
+    stage(f"backend={backend} tiny={tiny}; building weights")
+    params = random_packed_llama(cfg, dtype)
+    jax.block_until_ready(params["embed_tokens"])
+    stage("weights on device")
+
+    max_len = 256 if not tiny else 64
+    runner = ModelRunner("llama", cfg, params, batch_size=1,
+                         max_seq_len=max_len, dtype=dtype)
+    cache = runner.init_cache()
+    logits, cache = runner.prefill(jnp.zeros((1, 16), jnp.int32), cache)
+    np.asarray(logits[:1, :1, :1])
+    stage("prefill compiled + ran")
+    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+
+    steps = 64 if not tiny else 8
+    toks, c2 = runner.decode_greedy_scan(tok, cache, steps)  # compile
+    np.asarray(toks)
+    stage(f"decode scan ({steps} steps) compiled + ran")
+    t0 = time.perf_counter()
+    toks, _ = runner.decode_greedy_scan(tok, cache, steps)
+    np.asarray(toks)  # host readback = true completion on the relay
+    dt = (time.perf_counter() - t0) / steps
+    tok_s = 1.0 / dt
+    stage(f"timed: {dt * 1e3:.2f} ms/token")
+
+    bw = probe_hbm_bw() if backend != "cpu" else 10.0
+    roofline = bw * 1e9 / model_weight_bytes(cfg)
+    print(json.dumps({
+        "metric": "llama7b_int4g128_decode_tokens_per_s_chip" if not tiny
+                  else "tiny_llama_int4_decode_tokens_per_s",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / roofline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+"""Command-line entry point: quantize / eval / benchmark / generate.
+
+One arch-generic CLI replacing the reference's three per-arch scripts
+(reference: llama.py:441-542, opt.py:346-446, neox.py:330-430 — the arch is
+read from the checkpoint's config.json instead of being baked into the script).
+Flag names match the reference's argparse surface.
+
+Usage:
+  python -m gptq_for_llama_tpu MODEL_DIR DATASET --wbits 4 --groupsize 128 \
+      --true-sequential --act-order --save out_dir [--eval]
+  python -m gptq_for_llama_tpu MODEL_DIR DATASET --load packed_dir --eval
+  python -m gptq_for_llama_tpu MODEL_DIR DATASET --load packed_dir \
+      --benchmark 2048 --check
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("gptq_for_llama_tpu")
+    p.add_argument("model", type=str,
+                   help="HF checkpoint directory (fp16/fp32 or packed)")
+    p.add_argument("dataset", type=str, nargs="?", default="wikitext2",
+                   choices=["wikitext2", "ptb", "c4", "ptb-new", "c4-new",
+                            "synthetic"],
+                   help="calibration/eval dataset (reference llama.py:446-448)")
+    # quantization (reference llama.py:449-470)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--nsamples", type=int, default=128)
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--nearest", action="store_true", help="RTN baseline")
+    p.add_argument("--wbits", type=int, default=16,
+                   choices=[2, 3, 4, 8, 16])
+    p.add_argument("--trits", action="store_true")
+    p.add_argument("--groupsize", type=int, default=-1)
+    p.add_argument("--sym", action="store_true")
+    p.add_argument("--act-order", action="store_true")
+    p.add_argument("--true-sequential", action="store_true")
+    p.add_argument("--observe", action="store_true")
+    p.add_argument("--mse", action="store_true")
+    p.add_argument("--chunk", type=int, default=16,
+                   help="calibration microbatch (TPU memory knob)")
+    # eval / io
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--new-eval", action="store_true")
+    p.add_argument("--save", type=str, default="",
+                   help="directory to save the packed checkpoint")
+    p.add_argument("--load", type=str, default="",
+                   help="packed checkpoint directory to load")
+    p.add_argument("--quant-directory", type=str, default=None,
+                   help="export toml+npy quant table here")
+    p.add_argument("--seqlen", type=int, default=None)
+    # runtime
+    p.add_argument("--benchmark", type=int, default=0,
+                   help="decode-benchmark over N tokens")
+    p.add_argument("--check", action="store_true",
+                   help="PPL check during benchmark")
+    p.add_argument("--test-generation", action="store_true")
+    p.add_argument("--text", type=str, default="the quick brown fox")
+    p.add_argument("--max-new-tokens", type=int, default=50)
+    p.add_argument("--min-new-tokens", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.95)
+    p.add_argument("--temperature", type=float, default=0.8)
+    p.add_argument("--tp", type=int, default=None,
+                   help="tensor-parallel degree (default: all devices)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+    from ..data import get_loaders
+    from ..engine import (QuantizeSpec, export_quant_table, pack_model,
+                          perplexity, quantize_model, save_packed)
+    from ..models import hf_loader
+
+    t0 = time.time()
+    model_dir = args.load or args.model
+    cfg, params = hf_loader.load_params(model_dir, seqlen=args.seqlen,
+                                        dtype=jnp.bfloat16)
+    seqlen = args.seqlen or cfg.max_seq_len
+    print(f"loaded {cfg.arch} from {model_dir} ({time.time() - t0:.1f}s)")
+
+    quantizers = {}
+    spec = QuantizeSpec(
+        wbits=args.wbits, groupsize=args.groupsize, sym=args.sym,
+        trits=args.trits, mse=args.mse, percdamp=args.percdamp,
+        act_order=args.act_order, true_sequential=args.true_sequential,
+        nearest=args.nearest, observe=args.observe, chunk=args.chunk)
+
+    needs_quant = (not args.load and args.wbits < 16
+                   and not (args.benchmark and not args.save))
+    if not args.load and (args.wbits < 16 or args.nearest):
+        train, _ = get_loaders(args.dataset, nsamples=args.nsamples,
+                               seed=args.seed, seqlen=seqlen,
+                               model=args.model if args.dataset != "synthetic" else cfg)
+        tq = time.time()
+        params, quantizers, _ = quantize_model(cfg.arch, cfg, params, train, spec)
+        print(f"quantized in {time.time() - tq:.1f}s")
+
+    if args.quant_directory and quantizers:
+        export_quant_table(quantizers, args.quant_directory)
+        print(f"quant table exported to {args.quant_directory}")
+
+    if args.save and quantizers:
+        params = pack_model(cfg.arch, cfg, params, quantizers)
+        save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
+        print(f"packed checkpoint saved to {args.save}")
+
+    if args.eval:
+        datasets = ["wikitext2", "ptb", "c4"] if args.dataset != "synthetic" \
+            else ["synthetic"]
+        if args.new_eval and args.dataset != "synthetic":
+            datasets = ["wikitext2", "ptb-new", "c4-new"]
+        for ds in datasets:
+            _, test = get_loaders(
+                ds, seed=args.seed, seqlen=seqlen,
+                model=args.model if ds != "synthetic" else cfg)
+            ppl = perplexity(cfg.arch, cfg, params, test, seqlen=seqlen,
+                             verbose=True)
+            print(f"{ds} perplexity: {ppl:.4f}")
+
+    if args.benchmark:
+        from ..runtime import ModelRunner, benchmark_decode
+        _, test = get_loaders(
+            args.dataset, seed=args.seed, seqlen=seqlen,
+            model=args.model if args.dataset != "synthetic" else cfg)
+        n = min(args.benchmark, len(np.asarray(test).reshape(-1)))
+        runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
+                             max_seq_len=max(n, 32))
+        res = benchmark_decode(runner, np.asarray(test).reshape(-1)[:n][None],
+                               check=args.check)
+        print(json.dumps(res))
+
+    if args.test_generation:
+        from ..runtime import ModelRunner, generate
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(args.model)
+        ids = np.asarray(tokenizer(args.text)["input_ids"], np.int32)
+        runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
+                             max_seq_len=len(ids) + args.max_new_tokens)
+        out = generate(runner, ids, args.max_new_tokens,
+                       temperature=args.temperature, top_p=args.top_p,
+                       min_new_tokens=args.min_new_tokens,
+                       eos_token_id=tokenizer.eos_token_id,
+                       stream=lambda t: print(tokenizer.decode(t), end="",
+                                              flush=True))
+        print()
+        print(tokenizer.decode(out[0]))
+
+
+if __name__ == "__main__":
+    main()

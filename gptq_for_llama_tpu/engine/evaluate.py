@@ -1,0 +1,58 @@
+"""Perplexity evaluation — the reference's integration test.
+
+Re-implements *_eval (reference: llama.py:173-261) functionally: the test token
+stream is cut into seqlen windows, each window's shifted cross-entropy is
+computed under one jitted full-model forward, and
+ppl = exp(sum nll / (nsamples * seqlen)) (reference: llama.py:246-259).
+
+The reference streams layers CPU<->GPU holding all activations resident
+(llama.py:191-239); on TPU the whole quantized model fits in HBM, so a straight
+per-window forward is both simpler and faster. RTN (--nearest) happens at
+quantize time via QuantizeSpec(nearest=True), not inside eval.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_arch
+
+
+def _nll_fn(arch, cfg):
+    @jax.jit
+    def nll(params, ids):
+        """Summed shifted cross-entropy for one (1, seqlen) window, fp32."""
+        logits = arch.forward(params, cfg, ids).astype(jnp.float32)
+        shift_logits = logits[:, :-1]
+        shift_labels = ids[:, 1:]
+        logp = jax.nn.log_softmax(shift_logits, axis=-1)
+        tok = jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)
+        # mean CE over seqlen-1 tokens, scaled by seqlen (reference llama.py:250-252)
+        return -jnp.mean(tok) * ids.shape[1]
+
+    return nll
+
+
+def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
+               verbose: bool = False, log=print) -> float:
+    """Wikitext2/PTB/C4-style perplexity over a flat token stream.
+
+    test_ids: (T,) int32. Uses floor(T / seqlen) windows (reference llama.py:181).
+    """
+    arch = get_arch(arch_name)
+    seqlen = seqlen or cfg.max_seq_len
+    test_ids = np.asarray(test_ids).reshape(-1)
+    nsamples = len(test_ids) // seqlen
+    if nsamples == 0:
+        raise ValueError(f"test stream of {len(test_ids)} tokens < seqlen {seqlen}")
+    nll = _nll_fn(arch, cfg)
+    total = 0.0
+    for i in range(nsamples):
+        ids = jnp.asarray(test_ids[i * seqlen:(i + 1) * seqlen], jnp.int32)[None]
+        total += float(nll(params, ids))
+        if verbose and (i + 1) % 16 == 0:
+            log(f"  ppl eval {i + 1}/{nsamples}: "
+                f"{float(np.exp(total / ((i + 1) * seqlen))):.4f}")
+    return float(np.exp(total / (nsamples * seqlen)))

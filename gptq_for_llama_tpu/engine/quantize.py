@@ -1,0 +1,299 @@
+"""Sequential layer-by-layer GPTQ quantization engine — one generic driver.
+
+Replaces the reference's three ~85%-identical per-arch drivers
+(reference: llama.py:27-170, opt.py:28-140, neox.py:27-130) with one engine over
+the arch registry. The reference's forward-hook activation capture
+(llama.py:98-107) becomes the functional ``taps`` dict returned by each arch's
+``layer``; the Catcher-exception input capture (llama.py:43-62) becomes simply
+running ``embed`` — the model is pure functions, nothing to intercept.
+
+Memory model (the TPU translation of the reference's CPU-staging loop,
+llama.py:84,125): all nsamples hidden states stay on device as one
+(nsamples, seqlen, hidden) array; layers are quantized strictly in order;
+forwards run in sample microbatches under one jit (static shapes -> one compile).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_arch
+from ..models.common import causal_mask
+from ..ops.linear import PackedLinear
+from ..quant.gptq import batch_hessian, gptq_quantize
+from ..quant.quantizer import QuantConfig, fake_quantize, find_params_weight
+from ..utils.metrics import ascii_table, gen_conditions, snr_error
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizeSpec:
+    """All quantization knobs (the reference's argparse flags, llama.py:443-470)."""
+
+    wbits: int = 4
+    groupsize: int = -1
+    sym: bool = False
+    trits: bool = False
+    mse: bool = False
+    percdamp: float = 0.01
+    blocksize: int = 128
+    act_order: bool = False
+    true_sequential: bool = False
+    nearest: bool = False           # RTN baseline instead of GPTQ (--nearest)
+    observe: bool = False           # keep worst layers for auto-upgrade (--observe)
+    chunk: int = 16                 # calibration samples per forward microbatch
+
+    def qconfig(self, wbits: Optional[int] = None) -> QuantConfig:
+        # wire_safe: the packed checkpoint must represent the fake-quant grid
+        # exactly (see QuantConfig.wire_safe on the reference's zeros-1 wrap).
+        return QuantConfig(bits=wbits or self.wbits, perchannel=True, sym=self.sym,
+                           mse=self.mse, trits=self.trits, wire_safe=True)
+
+
+class QuantRecord(NamedTuple):
+    """Per-linear quantization artifact — the reference's quantizers-dict tuple
+    (quantizer, scale, zero, g_idx, wbits, groupsize) at llama.py:115,158."""
+
+    scale: np.ndarray      # (out, G)
+    zero: np.ndarray       # (out, G)
+    g_idx: np.ndarray      # (in,)
+    wbits: int
+    groupsize: int
+    error: float
+
+
+class ObserverEntry(NamedTuple):
+    layer_idx: int
+    name: str
+    error: float
+    hessian: Optional[np.ndarray]   # retained only when observing (gptq.py:144-145)
+
+
+class Observer:
+    """Top-k worst layers by quantization error (reference: gptq.py:15-53)."""
+
+    def __init__(self, topk: int = 32):
+        self.items: list[ObserverEntry] = []
+        self.topk = topk
+
+    def submit(self, entry: ObserverEntry):
+        if len(self.items) < self.topk:
+            self.items.append(entry)
+            return
+        min_idx = min(range(len(self.items)), key=lambda i: self.items[i].error)
+        if self.items[min_idx].error < entry.error:
+            self.items[min_idx] = entry
+
+    def ranked(self) -> list[ObserverEntry]:
+        return sorted(self.items, key=lambda e: e.error, reverse=True)
+
+    def table(self) -> str:
+        return ascii_table(["name", "error"],
+                           [[f"{e.name}.{e.layer_idx}", float(e.error)]
+                            for e in self.ranked()])
+
+
+# ---------------------------------------------------------------------------
+# pytree path helpers (the functional find_layers, reference: modelutils.py:7-13)
+# ---------------------------------------------------------------------------
+
+def get_path(tree, dotted: str):
+    node = tree
+    for part in dotted.split("."):
+        node = node[part]
+    return node
+
+
+def set_path(tree, dotted: str, value):
+    parts = dotted.split(".")
+    node = tree
+    for part in parts[:-1]:
+        node = node[part]
+    node[parts[-1]] = value
+
+
+def layer_linears(arch, lp) -> list[str]:
+    """Linear names present in this layer's params (find_layers equivalent)."""
+    return [n for n in arch.LAYER_LINEARS
+            if isinstance(get_path(lp, n), (dict, PackedLinear))]
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks (compiled once per run; shapes static across layers)
+# ---------------------------------------------------------------------------
+
+def _make_layer_fns(arch, cfg, group_names: tuple[str, ...]):
+    """(hessian-accumulate, forward) jitted fns for one sequential group."""
+
+    @partial(jax.jit, static_argnames=())
+    def accum(lp, x, positions, mask, sums):
+        _, taps, _ = arch.layer(cfg, lp, x, positions, mask)
+        new_sums = {}
+        for name in group_names:
+            t = taps[name].astype(jnp.float32)
+            t2 = t.reshape(-1, t.shape[-1])
+            new_sums[name] = sums[name] + jnp.einsum(
+                "tc,td->cd", t2, t2, precision=jax.lax.Precision.HIGHEST)
+        return new_sums
+
+    @jax.jit
+    def fwd(lp, x, positions, mask):
+        y, _, _ = arch.layer(cfg, lp, x, positions, mask)
+        return y
+
+    return accum, fwd
+
+
+def _quantize_one(w_t, h, spec: QuantizeSpec, wbits: int, groupsize: int):
+    """GPTQ (or RTN) one weight. w_t: (out, in) fp32. Returns (q, record)."""
+    cfg = spec.qconfig(wbits)
+    if spec.nearest:
+        # RTN: per-row params over the whole weight (reference llama.py:225-232)
+        scale, zero = find_params_weight(w_t, cfg)
+        q = fake_quantize(w_t, scale, zero, cfg)
+        g = np.zeros(w_t.shape[1], dtype=np.int32)
+        rec = QuantRecord(np.asarray(scale), np.asarray(zero), g, wbits, groupsize,
+                          float(jnp.sum((q - w_t) ** 2)))
+        return q, rec
+    res = gptq_quantize(w_t, h, cfg, blocksize=spec.blocksize,
+                        percdamp=spec.percdamp, groupsize=groupsize,
+                        actorder=spec.act_order)
+    rec = QuantRecord(np.asarray(res.scale), np.asarray(res.zero),
+                      np.asarray(res.g_idx), wbits, groupsize, float(res.error))
+    return res.qweight, rec
+
+
+def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpec,
+                   verbose: bool = True, log=print):
+    """Quantize all decoder layers in place-functionally.
+
+    params: model pytree with DENSE fp weights (kernels (in, out)).
+    train_windows: (nsamples, seqlen) int32 calibration windows.
+    Returns (params with fake-quantized kernels, {dotted_name: QuantRecord},
+    Observer). Equivalent to the reference *_sequential (llama.py:27-170).
+    """
+    arch = get_arch(arch_name)
+    t_start = time.time()
+    windows = jnp.asarray(train_windows)
+    ns, seqlen = windows.shape
+    chunk = min(spec.chunk, ns)
+    assert ns % chunk == 0, f"nsamples {ns} must divide by chunk {chunk}"
+    positions = jnp.arange(seqlen)[None, :]
+    mask = causal_mask(seqlen, seqlen)
+
+    dtype = get_path(params, "layers")[0]
+    dtype = jax.tree_util.tree_leaves(dtype)[0].dtype
+
+    embed_fn = jax.jit(lambda ids: arch.embed(params, cfg, ids))
+    x = jnp.concatenate([embed_fn(windows[i:i + chunk])
+                         for i in range(0, ns, chunk)], axis=0)
+
+    quantizers: dict[str, QuantRecord] = {}
+    observer = Observer()
+    fwd_cache = {}
+
+    if verbose:
+        log(ascii_table(["layer", "name", "weight_error", "time"], []).split("\n")[1])
+
+    for li, lp in enumerate(params["layers"]):
+        names_present = layer_linears(arch, lp)
+        groups = [[n for n in g if n in names_present]
+                  for g in arch.sequential_groups(spec.true_sequential)]
+        groups = [g for g in groups if g]
+
+        for group in groups:
+            key = tuple(group)
+            if key not in fwd_cache:
+                fwd_cache[key] = _make_layer_fns(arch, cfg, key)
+            accum, _ = fwd_cache[key]
+
+            cols = {n: get_path(lp, n)["kernel"].shape[0] for n in group}
+            sums = {n: jnp.zeros((c, c), jnp.float32) for n, c in cols.items()}
+            for i in range(0, ns, chunk):
+                sums = accum(lp, x[i:i + chunk], positions, mask, sums)
+            ntok_scale = 2.0 / ns  # H = 2/nsamples * sum x x^T (gptq.py:94-99)
+
+            for name in group:
+                t0 = time.time()
+                kernel = get_path(lp, name)["kernel"]
+                w_t = kernel.T.astype(jnp.float32)     # (out, in) rows=out
+                h = sums[name] * ntok_scale
+                q, rec = _quantize_one(w_t, h, spec, spec.wbits, spec.groupsize)
+                get_path(lp, name)["kernel"] = q.T.astype(dtype)
+                quantizers[f"layers.{li}.{name}"] = rec
+                observer.submit(ObserverEntry(
+                    li, name, rec.error,
+                    np.asarray(h) if spec.observe else None))
+                if verbose:
+                    log(f"| layer {li:3d} | {name:28s} | error {rec.error:12.4f} "
+                        f"| {time.time() - t0:6.2f}s |")
+
+        # propagate quantized activations to the next layer (llama.py:122-130)
+        _, fwd = fwd_cache[tuple(groups[0])]
+        x = jnp.concatenate([fwd(lp, x[i:i + chunk], positions, mask)
+                             for i in range(0, ns, chunk)], axis=0)
+
+    if spec.observe:
+        _auto_upgrade(arch, params, quantizers, observer, spec, verbose, log)
+    if verbose:
+        log(f"quantization done in {time.time() - t_start:.1f}s")
+    return params, quantizers, observer
+
+
+def _auto_upgrade(arch, params, quantizers, observer: Observer, spec: QuantizeSpec,
+                  verbose: bool, log):
+    """Re-quantize worst layers at higher precision until error halves.
+
+    The reference's --observe pass (llama.py:134-166): walk gen_conditions
+    (groupsize/2 ... then wbits*2) until error < original/2. Uses the retained
+    Hessian; operates on the ORIGINAL weight, which we reconstruct is impossible
+    post-hoc — so, like the reference (which re-runs fasterquant on the already-
+    assigned layer weight W=q via gptq.layer.weight), we re-quantize the current
+    fake-quantized weight. The observed error ordering drives the search.
+    """
+    if verbose:
+        log(observer.table())
+    for entry in observer.ranked():
+        if entry.hessian is None:
+            continue
+        dotted = f"layers.{entry.layer_idx}.{entry.name}"
+        lp = params["layers"][entry.layer_idx]
+        target = entry.error / 2.0
+        conditions = gen_conditions(spec.wbits, spec.groupsize)
+        for wbits, gs in conditions:
+            kernel = get_path(lp, entry.name)["kernel"]
+            w_t = kernel.T.astype(jnp.float32)
+            q, rec = _quantize_one(w_t, jnp.asarray(entry.hessian), spec, wbits, gs)
+            if verbose:
+                log(f"| observe {dotted}: wbits={wbits} groupsize={gs} "
+                    f"error={rec.error:.4f} (target {target:.4f}) |")
+            if rec.error < target:
+                get_path(lp, entry.name)["kernel"] = q.T.astype(kernel.dtype)
+                quantizers[dotted] = rec
+                break
+
+
+# ---------------------------------------------------------------------------
+# SNR probe (reference print_loss, gptq.py:101-126) — used by tests/CLI
+# ---------------------------------------------------------------------------
+
+def snr_probe(kernel_q, kernel_fp, x):
+    """fp_inp_SNR / q_inp_SNR for one linear given a probe activation x.
+
+    Quantizes the input to int8 per-tensor symmetric like the reference
+    (gptq.py:111-115) and reports SNRs of the quantized layer's outputs.
+    """
+    from ..quant.quantizer import find_params_activation
+    cfg8 = QuantConfig(bits=8, perchannel=False, sym=True, mse=False)
+    scale, zero = find_params_activation(x, cfg8)
+    q_in = fake_quantize(x, scale, zero, cfg8)
+    out_ref = x @ kernel_fp
+    fp_snr = snr_error(x @ kernel_q, out_ref)
+    q_snr = snr_error(q_in @ kernel_q, out_ref)
+    return float(fp_snr), float(q_snr)

@@ -69,6 +69,30 @@ def apply_rope(q, k, cos, sin, rotary_dim: int | None = None):
     return q2.astype(q.dtype), k2.astype(k.dtype)
 
 
+def update_kv_cache(cache_k, cache_v, k_new, v_new, offset):
+    """Write k/v at [offset, offset+s) of a static-size cache.
+
+    cache_k/v: (B, max_len, Hkv, D); k_new/v_new: (B, s, Hkv, D); offset: traced
+    int32. The TPU-native replacement for the reference's growing concat KV cache
+    (reference: quant/fused_attn.py:140-143) — static shapes keep decode under one
+    compiled step.
+    """
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
+                                           (0, offset, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
+                                           (0, offset, 0, 0))
+    return cache_k, cache_v
+
+
+def decode_mask(q_len: int, max_len: int, offset, dtype=jnp.float32):
+    """Additive mask for cached attention: query i (at abs pos offset+i) sees
+    cache slots j <= offset + i. Shape (q_len, max_len); offset may be traced."""
+    qi = jnp.arange(q_len)[:, None]
+    kj = jnp.arange(max_len)[None, :]
+    allowed = kj <= qi + offset
+    return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
+
+
 def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     """Additive causal mask (q_len, kv_len); query i attends kv <= i + kv_len - q_len."""
     qi = jnp.arange(q_len)[:, None]

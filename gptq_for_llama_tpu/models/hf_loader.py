@@ -81,7 +81,11 @@ class _Mapper:
         """Dense (weight (out,in) -> kernel (in,out)) or packed GPTQ linear."""
         if f"{prefix}.qweight" in self.flat:
             bias = self.flat.get(f"{prefix}.bias")
-            bits = self.meta_bits.get(prefix, self.default_bits)
+            # Per-tensor bits from shapes (qweight rows = K*bits/32) — supports
+            # heterogeneous --observe checkpoints; metadata overrides if present.
+            kdim = self.flat[f"{prefix}.g_idx"].shape[0]
+            shape_bits = int(self.flat[f"{prefix}.qweight"].shape[0] * 32 // kdim)
+            bits = self.meta_bits.get(prefix, shape_bits or self.default_bits)
             return PackedLinear.from_wire(
                 self.flat[f"{prefix}.qweight"], self.flat[f"{prefix}.qzeros"],
                 np.asarray(self.flat[f"{prefix}.scales"], dtype=np.float32),

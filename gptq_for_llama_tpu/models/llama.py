@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import activation, apply_rope, causal_mask, rms_norm, rope_cos_sin, sdpa
+from .common import (activation, apply_rope, causal_mask, rms_norm,
+                     rope_cos_sin, sdpa, update_kv_cache)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -74,15 +75,18 @@ def init_params(cfg: ModelConfig, rng, dtype=jnp.bfloat16):
     }
 
 
-def embed(params, cfg: ModelConfig, input_ids):
+def embed(params, cfg: ModelConfig, input_ids, positions=None):
     return jnp.take(params["embed_tokens"], input_ids, axis=0)
 
 
 def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
-    """One decoder layer. x: (B, S, H). Returns (y, taps, (k, v) present).
+    """One decoder layer. x: (B, S, H). Returns (y, taps, present_kv).
 
-    taps maps each linear's dotted name to the activation feeding it — the
-    functional replacement for the reference's forward hooks (llama.py:98-107).
+    past_kv: None (plain causal forward) or (cache_k, cache_v, offset) — a
+    static-size KV cache written at offset (decode path); present_kv is then the
+    updated (cache_k, cache_v). taps maps each linear's dotted name to the
+    activation feeding it — the functional replacement for the reference's
+    forward hooks (llama.py:98-107).
     """
     h_attn_in = rms_norm(x, lp["input_layernorm"], cfg.norm_eps)
     att = lp["self_attn"]
@@ -95,18 +99,19 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin)
+    present = (k, v)
     if past_kv is not None:
-        k = jnp.concatenate([past_kv[0], k], axis=1)
-        v = jnp.concatenate([past_kv[1], v], axis=1)
+        cache_k, cache_v, offset = past_kv
+        k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
+        present = (k, v)
     attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
     o = linear_apply(att["o_proj"], attn_out)
     x = x + o
 
     h_mlp_in = rms_norm(x, lp["post_attention_layernorm"], cfg.norm_eps)
     mlp = lp["mlp"]
-    gate = linear_apply(mlp["gate_proj"], h_mlp_in)
-    up = linear_apply(mlp["up_proj"], h_mlp_in)
-    h_down_in = activation(cfg.act)(gate) * up
+    from ..ops.quant_matmul import fused_gate_up  # fused Pallas path when packed
+    h_down_in = fused_gate_up(mlp["gate_proj"], mlp["up_proj"], h_mlp_in, cfg.act)
     down = linear_apply(mlp["down_proj"], h_down_in)
     y = x + down
 
@@ -116,7 +121,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
         "mlp.gate_proj": h_mlp_in, "mlp.up_proj": h_mlp_in,
         "mlp.down_proj": h_down_in,
     }
-    return y, taps, (k, v)
+    return y, taps, present
 
 
 def head(params, cfg: ModelConfig, x):

@@ -10,7 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import activation, apply_rope, causal_mask, layer_norm, rope_cos_sin, sdpa
+from .common import (activation, apply_rope, causal_mask, layer_norm,
+                     rope_cos_sin, sdpa, update_kv_cache)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -58,7 +59,7 @@ def init_params(cfg: ModelConfig, rng, dtype=jnp.bfloat16):
     }
 
 
-def embed(params, cfg: ModelConfig, input_ids):
+def embed(params, cfg: ModelConfig, input_ids, positions=None):
     return jnp.take(params["embed_in"], input_ids, axis=0)
 
 
@@ -73,9 +74,11 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     rotary_dim = int(hd * cfg.rotary_pct)
     cos, sin = rope_cos_sin(positions, rotary_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin, rotary_dim=rotary_dim)
+    present = (k, v)
     if past_kv is not None:
-        k = jnp.concatenate([past_kv[0], k], axis=1)
-        v = jnp.concatenate([past_kv[1], v], axis=1)
+        cache_k, cache_v, offset = past_kv
+        k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
+        present = (k, v)
     attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
     attn_out_proj = linear_apply(lp["attention"]["dense"], attn_out)
 
@@ -101,7 +104,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
         "mlp.dense_h_to_4h": ln2,
         "mlp.dense_4h_to_h": act_out,
     }
-    return y, taps, (k, v)
+    return y, taps, present
 
 
 def head(params, cfg: ModelConfig, x):

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import activation, causal_mask, layer_norm, sdpa
+from .common import activation, causal_mask, layer_norm, sdpa, update_kv_cache
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -85,9 +85,11 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     q = linear_apply(att["q_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = linear_apply(att["k_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = linear_apply(att["v_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    present = (k, v)
     if past_kv is not None:
-        k = jnp.concatenate([past_kv[0], k], axis=1)
-        v = jnp.concatenate([past_kv[1], v], axis=1)
+        cache_k, cache_v, offset = past_kv
+        k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
+        present = (k, v)
     attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
     o = linear_apply(att["out_proj"], attn_out)
     x = residual + o
@@ -110,7 +112,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
         "self_attn.q_proj": h, "self_attn.k_proj": h, "self_attn.v_proj": h,
         "self_attn.out_proj": attn_out, "fc1": h2, "fc2": act_out,
     }
-    return y, taps, (k, v)
+    return y, taps, present
 
 
 def head(params, cfg: ModelConfig, x):

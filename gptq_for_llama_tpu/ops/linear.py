@@ -30,8 +30,12 @@ class PackedLinear:
     """Quantized linear parameters in device layout.
 
     qweight: int32 (K*bits//32, N) — rows group-sorted (monotone groups).
-    qzeros:  int32 (G, N*bits//32) — stored zero-1 (reference offset).
-    scales:  (G, N) fp16/fp32.
+    qzeros:  int32 (G, N*bits//32) — stored zero-1 (reference offset); kept
+             only for exact wire-format save, never read by compute.
+    scales:  (G, N) fp16/fp32/bf16.
+    zeros:   (G, N) float — the effective dequant zero (unpacked qzeros + 1),
+             precomputed at load so kernels skip the column-unpack + offset
+             (integer-valued <= 2^bits, exact even in bf16).
     g_idx:   int32 (K,) — original wire-format group ids (kept for save/export).
     perm:    int32 (K,) or None — input permutation applied to activations
              (x[..., perm]); None when g_idx was already monotone.
@@ -42,6 +46,7 @@ class PackedLinear:
     qweight: jax.Array
     qzeros: jax.Array
     scales: jax.Array
+    zeros: jax.Array
     g_idx: jax.Array
     perm: Optional[jax.Array]
     bias: Optional[jax.Array]
@@ -51,8 +56,8 @@ class PackedLinear:
     out_features: int
 
     def tree_flatten(self):
-        children = (self.qweight, self.qzeros, self.scales, self.g_idx,
-                    self.perm, self.bias)
+        children = (self.qweight, self.qzeros, self.scales, self.zeros,
+                    self.g_idx, self.perm, self.bias)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features)
         return children, aux
 
@@ -79,30 +84,54 @@ class PackedLinear:
             codes = packing.unpack_rows(qweight, bits, k=k)
             qweight = packing.pack_rows(codes[perm], bits)
 
+        zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
+
         return cls(
             qweight=jnp.asarray(qweight),
             qzeros=jnp.asarray(qzeros),
             scales=jnp.asarray(scales, dtype=dtype),
+            zeros=jnp.asarray(zeros, dtype=dtype),
             g_idx=jnp.asarray(g_idx),
             perm=None if perm is None else jnp.asarray(perm),
             bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
         )
 
+    def to_wire(self) -> dict:
+        """Reference wire-format numpy buffers (original, unsorted row order).
+
+        Inverse of from_wire: undoes the group-sort row permutation so the saved
+        checkpoint is byte-compatible with reference QuantLinear buffers
+        (reference: quant/quant_linear.py:316-371)."""
+        qweight = np.asarray(self.qweight)
+        if self.perm is not None:
+            codes = packing.unpack_rows(qweight, self.bits, k=self.in_features)
+            inv = np.argsort(np.asarray(self.perm))
+            qweight = packing.pack_rows(codes[inv], self.bits)
+        out = {
+            "qweight": qweight,
+            "qzeros": np.asarray(self.qzeros),
+            "scales": np.asarray(self.scales, dtype=np.float16),
+            "g_idx": np.asarray(self.g_idx),
+        }
+        if self.bias is not None:
+            out["bias"] = np.asarray(self.bias, dtype=np.float16)
+        return out
+
     def dequantize(self, dtype=jnp.bfloat16):
         """Dense (K_sorted, N) weight in device row order (after perm)."""
         codes = packing.unpack_rows_jnp(self.qweight, self.bits, k=self.in_features)
-        zeros = packing.unpack_cols_jnp(self.qzeros, self.bits, n=self.out_features) + 1
         k, n = self.in_features, self.out_features
         g = self.scales.shape[0]
         s = self.scales.astype(jnp.float32)
+        zeros = self.zeros.astype(jnp.float32)
         if g * self.groupsize == k:
             codes3 = codes.reshape(g, self.groupsize, n).astype(jnp.float32)
-            w = (codes3 - zeros[:, None, :].astype(jnp.float32)) * s[:, None, :]
+            w = (codes3 - zeros[:, None, :]) * s[:, None, :]
             return w.reshape(k, n).astype(dtype)
         # ragged last group: fall back to a row gather
         gid = jnp.minimum(jnp.arange(k) // self.groupsize, g - 1)
-        w = (codes.astype(jnp.float32) - zeros[gid].astype(jnp.float32)) * s[gid]
+        w = (codes.astype(jnp.float32) - zeros[gid]) * s[gid]
         return w.astype(dtype)
 
 

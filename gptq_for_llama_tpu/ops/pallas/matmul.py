@@ -1,0 +1,187 @@
+"""Pallas TPU kernel: fused dequant + matmul over bit-packed weights.
+
+The TPU-native equivalent of the reference's Triton `matmul_248_kernel`
+(reference: quant/quant_linear.py:73-137): int32-packed 2/4/8-bit codes are
+unpacked by shift/mask IN REGISTERS inside each (bk, bn) tile and fed to the
+MXU — packed words are the only weight HBM traffic, which is what makes
+bandwidth-bound decode fast.
+
+Design points, driven by TPU hardware (not a Triton translation):
+
+- **dot-then-scale**: instead of dequantizing every weight element
+  ((c - z) * s on (bk, bn) elements — VPU-bound for matvec), each group's raw
+  codes go straight to the MXU and the affine correction is applied to the
+  (bm, bn) accumulator:
+      x_g @ ((C_g - z_g) * s_g) == (x_g @ C_g) * s_g - sum_k(x_g) * (z_g * s_g)
+  This moves O(bk*bn) VPU work to O(bm*bn) — 16-128x less for decode.
+- No per-row g_idx gather (reference quant_linear.py:114-118): rows are
+  group-sorted at load (ops/linear.py from_wire), so a K-tile covers whole
+  groups; scale rows are read with STATIC slices (Mosaic-friendly).
+- Zero-points arrive pre-unpacked (+1 applied) as float (G, N)
+  (PackedLinear.zeros) — the qzeros column-unpack happens once at load.
+- The f32 accumulator lives in VMEM scratch across the K grid dimension.
+- No runtime autotuner (reference custom_autotune.py): block sizes are picked
+  statically from the problem shape (Mosaic constraints: scale-block sublane
+  dim must be a multiple of 8 or the full G).
+
+K-tiling policy: tiles of 8 groups when G % 8 == 0 (scale blocks (8, bn)),
+otherwise one full-K tile (scale blocks (G, bn) — full-dim blocks bypass the
+multiple-of-8 rule). Unsupported shapes fall back to the XLA dequant path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..linear import PackedLinear
+
+
+def _unpack_rows(w, bits: int, rows: int):
+    """(words, bn) int32 -> (rows, bn) int32 codes (row-major within word)."""
+    ipw = 32 // bits
+    maxq = (1 << bits) - 1
+    vals = [(jax.lax.shift_right_logical(w, bits * j) & maxq) for j in range(ipw)]
+    return jnp.stack(vals, axis=1).reshape(rows, w.shape[1])
+
+
+def _qmm_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits: int,
+                groupsize: int, groups_per_tile: int, out_dtype):
+    """One (bm, bn) output tile, accumulating over the K grid dimension."""
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gs, gpt = groupsize, groups_per_tile
+    ipw = 32 // bits
+    wpg = gs // ipw  # packed words per group
+    xb = x_ref[:].astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    for g in range(gpt):
+        codes = _unpack_rows(qw_ref[g * wpg:(g + 1) * wpg, :], bits, gs)
+        cg = codes.astype(jnp.bfloat16)
+        xg = xb[:, g * gs:(g + 1) * gs]
+        p = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
+        sumx = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        # static row slices of the scale/zero blocks (z_ref holds z*s, see call)
+        acc = acc + p * s_ref[g:g + 1, :].astype(jnp.float32) \
+                  - sumx * z_ref[g:g + 1, :].astype(jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(kstep == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _pick_block(dim: int, preferred: int, align: int) -> int:
+    """Largest multiple of `align` <= preferred that divides dim."""
+    b = min(preferred, dim)
+    b = (b // align) * align
+    while b > align and dim % b != 0:
+        b -= align
+    return max(b, align)
+
+
+# VMEM budget for one qweight tile (x2 double buffering happens outside)
+_QW_TILE_BYTES = 4 * 1024 * 1024
+
+
+def _tile_plan(k: int, n: int, groupsize: int, bits: int):
+    """Returns (bk, groups_per_tile) or None if unsupported."""
+    g = k // groupsize
+    if g % 8 == 0 and k % (8 * groupsize) == 0:
+        return 8 * groupsize, 8
+    # full-K single tile: scale block = full G rows (any size allowed)
+    if (k * bits // 32) * 256 * 4 <= _QW_TILE_BYTES * 2:
+        return k, g
+    return None
+
+
+def supports(lin: PackedLinear) -> bool:
+    """Shapes/bits this kernel handles; others take the XLA fallback path."""
+    if lin.bits not in (2, 4, 8):
+        return False  # 3-bit three-word packs: XLA fallback (for now)
+    k, n = lin.in_features, lin.out_features
+    g = lin.scales.shape[0]
+    if g * lin.groupsize != k:
+        return False  # ragged last group
+    if n % 128 != 0:
+        return False
+    if lin.groupsize % (32 // lin.bits) != 0:
+        return False  # group boundaries must align to packed words
+    return _tile_plan(k, n, lin.groupsize, lin.bits) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
+                                             "interpret"))
+def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
+            out_dtype=jnp.bfloat16, interpret: bool = False):
+    """y = x @ dequant(qweight): x (M, K) -> (M, N). M must be 8-aligned.
+
+    zeros_scaled = zeros * scales (precomputed outside; see _qmm_kernel).
+    """
+    m, k = x.shape
+    n = qweight.shape[1]
+    ipw = 32 // bits
+    g = k // groupsize
+
+    plan = _tile_plan(k, n, groupsize, bits)
+    assert plan is not None, "caller must check supports()"
+    bk, gpt = plan
+    bm = _pick_block(m, 256, 8)
+    bn = _pick_block(n, 256, 128)
+
+    grid = (m // bm, n // bn, k // bk)
+    kernel = functools.partial(_qmm_kernel, bits=bits, groupsize=groupsize,
+                               groups_per_tile=gpt, out_dtype=out_dtype)
+    flops = 2 * m * n * k
+    bytes_accessed = (m * k * 2) * (n // bn) + k * n * bits // 8 + m * n * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // ipw, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(x, qweight, scales, zeros_scaled)
+
+
+def quant_matmul_pallas(x, lin: PackedLinear, interpret: bool = False):
+    """y = x @ dequant(lin) + bias for x (..., K); output (..., N) in x.dtype."""
+    if lin.perm is not None:
+        x = jnp.take(x, lin.perm, axis=-1)
+    lead = x.shape[:-1]
+    k = lin.in_features
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    mp = max(8, -(-m // 8) * 8)  # pad rows to the fp32 sublane tile
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32))
+    y = _qmm_2d(x2, lin.qweight, lin.scales, zs.astype(lin.scales.dtype),
+                lin.bits, lin.groupsize, out_dtype=x.dtype, interpret=interpret)
+    y = y[:m].reshape(*lead, lin.out_features)
+    if lin.bias is not None:
+        y = y + lin.bias
+    return y

@@ -1,0 +1,136 @@
+"""Pallas TPU kernel: fused quantized gate/up SiLU MLP.
+
+Equivalent of the reference's Triton `fusedmatmul_248_kernel` + QuantLlamaMLP
+(reference: quant/fused_mlp.py:85-218): computes silu(x @ Wg) * (x @ Wu) with
+both packed weights dequantized in-register, in one kernel — x is read once and
+neither intermediate ever touches HBM (the reference's stated purpose: halve
+activation reads in the MLP).
+
+Shares the dot-then-scale formulation and tiling policy with matmul.py; the two
+GEMMs accumulate in two VMEM scratch buffers and the SiLU*mul epilogue runs on
+the final K step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..linear import PackedLinear
+from .matmul import _pick_block, _tile_plan, _unpack_rows, supports
+
+
+def _fused_kernel(x_ref, qg_ref, sg_ref, zg_ref, qu_ref, su_ref, zu_ref,
+                  o_ref, accg_ref, accu_ref, *, bits: int, groupsize: int,
+                  groups_per_tile: int, out_dtype):
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _():
+        accg_ref[:] = jnp.zeros_like(accg_ref)
+        accu_ref[:] = jnp.zeros_like(accu_ref)
+
+    gs, gpt = groupsize, groups_per_tile
+    ipw = 32 // bits
+    wpg = gs // ipw
+    xb = x_ref[:].astype(jnp.bfloat16)
+    accg = accg_ref[:]
+    accu = accu_ref[:]
+    for g in range(gpt):
+        xg = xb[:, g * gs:(g + 1) * gs]
+        sumx = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
+        cg = _unpack_rows(qg_ref[g * wpg:(g + 1) * wpg, :], bits, gs).astype(jnp.bfloat16)
+        pg = jnp.dot(xg, cg, preferred_element_type=jnp.float32)
+        accg = accg + pg * sg_ref[g:g + 1, :].astype(jnp.float32) \
+                    - sumx * zg_ref[g:g + 1, :].astype(jnp.float32)
+        cu = _unpack_rows(qu_ref[g * wpg:(g + 1) * wpg, :], bits, gs).astype(jnp.bfloat16)
+        pu = jnp.dot(xg, cu, preferred_element_type=jnp.float32)
+        accu = accu + pu * su_ref[g:g + 1, :].astype(jnp.float32) \
+                    - sumx * zu_ref[g:g + 1, :].astype(jnp.float32)
+    accg_ref[:] = accg
+    accu_ref[:] = accu
+
+    @pl.when(kstep == pl.num_programs(2) - 1)
+    def _():
+        gate = accg_ref[:]
+        o_ref[:] = (gate * jax.lax.logistic(gate) * accu_ref[:]).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
+                                             "interpret"))
+def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
+              out_dtype=jnp.bfloat16, interpret: bool = False):
+    m, k = x.shape
+    n = qg.shape[1]
+    ipw = 32 // bits
+    bk, gpt = _tile_plan(k, n, groupsize, bits)
+    bm = _pick_block(m, 256, 8)
+    bn = _pick_block(n, 256, 128)
+    grid = (m // bm, n // bn, k // bk)
+    kernel = functools.partial(_fused_kernel, bits=bits, groupsize=groupsize,
+                               groups_per_tile=gpt, out_dtype=out_dtype)
+
+    w_spec = pl.BlockSpec((bk // ipw, bn), lambda i, j, kk: (kk, j),
+                          memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((gpt, bn), lambda i, j, kk: (kk, j),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                               memory_space=pltpu.VMEM),
+                  w_spec, g_spec, g_spec, w_spec, g_spec, g_spec],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32),
+                        pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * n * k,
+            bytes_accessed=2 * k * n * bits // 8 + m * k * 2 + m * n * 2,
+            transcendentals=m * n),
+        interpret=interpret,
+    )(x, qg, sg, zg, qu, su, zu)
+
+
+def supports_fused(gate: PackedLinear, up: PackedLinear) -> bool:
+    if not (supports(gate) and supports(up)):
+        return False
+    same = (gate.bits == up.bits and gate.groupsize == up.groupsize
+            and gate.in_features == up.in_features
+            and gate.out_features == up.out_features
+            and gate.bias is None and up.bias is None)
+    if not same:
+        return False
+    # a shared input permutation is fine only if identical on both
+    if (gate.perm is None) != (up.perm is None):
+        return False
+    return True
+
+
+def fused_mlp_pallas(x, gate: PackedLinear, up: PackedLinear,
+                     interpret: bool = False):
+    """silu(x @ dequant(gate)) * (x @ dequant(up)); x (..., K) -> (..., N)."""
+    if gate.perm is not None:
+        x = jnp.take(x, gate.perm, axis=-1)  # identical perm asserted upstream
+    lead = x.shape[:-1]
+    k = gate.in_features
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    mp = max(8, -(-m // 8) * 8)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    f32 = jnp.float32
+    zsg = (gate.zeros.astype(f32) * gate.scales.astype(f32)).astype(gate.scales.dtype)
+    zsu = (up.zeros.astype(f32) * up.scales.astype(f32)).astype(up.scales.dtype)
+    y = _fused_2d(x2, gate.qweight, gate.scales, zsg,
+                  up.qweight, up.scales, zsu,
+                  gate.bits, gate.groupsize, out_dtype=x.dtype,
+                  interpret=interpret)
+    return y[:m].reshape(*lead, gate.out_features)

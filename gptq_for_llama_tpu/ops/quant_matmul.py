@@ -41,3 +41,25 @@ def quant_matmul(x, lin: PackedLinear, dtype=jnp.bfloat16):
         from .pallas import matmul as pallas_matmul
         return pallas_matmul.quant_matmul_pallas(x, lin)
     return quant_matmul_xla(x, lin, dtype=dtype)
+
+
+def fused_gate_up(gate, up, x, act: str):
+    """act(x @ gate) * (x @ up) — one fused Pallas kernel when both linears are
+    packed SiLU-compatible (the reference's fused MLP, quant/fused_mlp.py),
+    otherwise two plain applies."""
+    from .linear import linear_apply
+    if (act == "silu" and isinstance(gate, PackedLinear)
+            and isinstance(up, PackedLinear) and _use_pallas(gate)):
+        from .pallas import mlp as pallas_mlp
+        if pallas_mlp.supports_fused(gate, up):
+            same_perm = (gate.perm is None and up.perm is None) or (
+                gate.perm is not None and up.perm is not None
+                and gate.perm is up.perm)
+            if gate.perm is None or same_perm:
+                return pallas_mlp.fused_mlp_pallas(x, gate, up)
+    import jax
+    g = linear_apply(gate, x)
+    u = linear_apply(up, x)
+    fn = {"silu": jax.nn.silu, "relu": jax.nn.relu,
+          "gelu": jax.nn.gelu}.get(act, jax.nn.gelu)
+    return fn(g) * u

@@ -1,0 +1,192 @@
+"""Device-mesh sharding: tensor-parallel placement of packed quantized weights.
+
+The reference's only parallelism is naive layer-round-robin multi-GPU placement
+with implicit .to(dev) copies (reference: llama.py:328-382). The TPU-native
+design replaces it with SPMD tensor parallelism over a jax.sharding.Mesh:
+packed weights carry NamedShardings, jit propagates them, and XLA inserts the
+all-reduce after row-parallel projections (o_proj/down_proj) — compiler-
+scheduled collectives over ICI instead of hand-placed P2P copies.
+
+Scheme (Megatron-style, per decoder layer):
+  column-parallel (shard out-features N): q/k/v/gate/up (llama), q/k/v/fc1
+    (opt), query_key_value/dense_h_to_4h (neox)   -> activations sharded by head
+  row-parallel (shard in-features K): o_proj/down_proj, out_proj/fc2,
+    dense/dense_4h_to_h                           -> psum back to replicated
+  lm_head: column-parallel over vocab; embeddings/norms replicated.
+
+PackedLinear buffer axes (see ops/linear.py):
+  qweight (K*bits/32, N): col -> shard axis 1, row -> shard axis 0
+  qzeros  (G, N*bits/32): col -> shard axis 1, row -> shard axis 0
+  scales  (G, N):         col -> shard axis 1, row -> shard axis 0
+  g_idx/perm (K,):        col -> replicated,   row -> shard axis 0
+Divisibility: col needs N % (tp * 32/bits) == 0; row needs K % (tp * 32) == 0
+(keeps 3-bit three-word packs intact at shard boundaries).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.linear import PackedLinear
+
+# per-arch: linear tree-path suffix -> 'col' | 'row'
+TP_RULES = {
+    "llama": {
+        "self_attn.q_proj": "col", "self_attn.k_proj": "col",
+        "self_attn.v_proj": "col", "self_attn.o_proj": "row",
+        "mlp.gate_proj": "col", "mlp.up_proj": "col", "mlp.down_proj": "row",
+    },
+    "opt": {
+        "self_attn.q_proj": "col", "self_attn.k_proj": "col",
+        "self_attn.v_proj": "col", "self_attn.out_proj": "row",
+        "fc1": "col", "fc2": "row",
+    },
+    "neox": {
+        # fused qkv is (heads, 3*head_dim) on N: sharding N splits whole heads
+        # as long as num_heads % tp == 0
+        "attention.query_key_value": "col", "attention.dense": "row",
+        "mlp.dense_h_to_4h": "col", "mlp.dense_4h_to_h": "row",
+    },
+}
+
+
+def make_mesh(tp: Optional[int] = None, dp: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp, tp) mesh; tp defaults to all devices / dp."""
+    devices = devices if devices is not None else jax.devices()
+    tp = tp or (len(devices) // dp)
+    if dp * tp != len(devices):
+        devices = devices[: dp * tp]
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def _shard(mesh: Mesh, x, spec: P):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _check_div(name: str, dim: int, parts: int):
+    if dim % parts != 0:
+        raise ValueError(
+            f"{name}: dimension {dim} not divisible by tp={parts}; "
+            f"pad the model dims or lower tp")
+
+
+def shard_packed_linear(lin: PackedLinear, mesh: Mesh, mode: str,
+                        axis: str = "tp") -> PackedLinear:
+    """Place one PackedLinear's buffers with column/row TP sharding."""
+    tp = mesh.shape[axis]
+    if mode == "col":
+        _check_div("qweight.N", lin.qweight.shape[1], tp)
+        _check_div("qzeros.cols", lin.qzeros.shape[1], tp)
+        qweight = _shard(mesh, lin.qweight, P(None, axis))
+        qzeros = _shard(mesh, lin.qzeros, P(None, axis))
+        scales = _shard(mesh, lin.scales, P(None, axis))
+        zeros = _shard(mesh, lin.zeros, P(None, axis))
+        g_idx = _shard(mesh, lin.g_idx, P(None))
+        perm = None if lin.perm is None else _shard(mesh, lin.perm, P(None))
+        bias = None if lin.bias is None else _shard(mesh, lin.bias, P(axis))
+    elif mode == "row":
+        # keep 32-value packs (and 3-bit 3-word packs) intact per shard
+        _check_div("qweight.K", lin.in_features, tp * 32)
+        qweight = _shard(mesh, lin.qweight, P(axis, None))
+        # group dim G may be < tp (small models / groupsize=-1): replicate then
+        gspec = P(axis, None) if lin.scales.shape[0] % tp == 0 else P(None, None)
+        qzeros = _shard(mesh, lin.qzeros, gspec)
+        scales = _shard(mesh, lin.scales, gspec)
+        zeros = _shard(mesh, lin.zeros, gspec)
+        g_idx = _shard(mesh, lin.g_idx, P(axis))
+        # perm indexes the K axis of x (pre-shard gather): replicate
+        perm = None if lin.perm is None else _shard(mesh, lin.perm, P(None))
+        bias = None if lin.bias is None else _shard(mesh, lin.bias, P(None))
+    else:
+        raise ValueError(mode)
+    return PackedLinear(qweight, qzeros, scales, zeros, g_idx, perm, bias,
+                        lin.bits, lin.groupsize, lin.in_features,
+                        lin.out_features)
+
+
+def _shard_dense_linear(lin: dict, mesh: Mesh, mode: str, axis: str = "tp") -> dict:
+    kernel = lin["kernel"]  # (K, N)
+    if mode == "col":
+        out = {"kernel": _shard(mesh, kernel, P(None, axis))}
+        if lin.get("bias") is not None:
+            out["bias"] = _shard(mesh, lin["bias"], P(axis))
+    else:
+        out = {"kernel": _shard(mesh, kernel, P(axis, None))}
+        if lin.get("bias") is not None:
+            out["bias"] = _shard(mesh, lin["bias"], P(None))
+    return out
+
+
+def _shard_linear(lin, mesh, mode, axis="tp"):
+    if isinstance(lin, PackedLinear):
+        return shard_packed_linear(lin, mesh, mode, axis)
+    return _shard_dense_linear(lin, mesh, mode, axis)
+
+
+def shard_model_params(arch_name: str, cfg, params, mesh: Mesh,
+                       axis: str = "tp"):
+    """Place every param with its TP sharding; non-linears replicated.
+
+    Returns a new pytree whose arrays are committed to mesh devices. Under jit,
+    sharding propagates from these annotations; XLA inserts the all-reduces
+    after row-parallel projections (the reference's cross-GPU hidden-state
+    copies, llama.py:345-358, become compiler collectives).
+    """
+    from ..engine.quantize import get_path, set_path  # cycle-free late import
+
+    rules = TP_RULES[arch_name]
+    replicate = lambda x: _shard(mesh, x, P(*(None,) * np.ndim(x)))
+
+    def shard_tree(node):
+        return jax.tree_util.tree_map(replicate, node)
+
+    out = {}
+    for key, val in params.items():
+        if key == "layers":
+            continue
+        if key == "lm_head" or key == "embed_out":
+            out[key] = _shard_linear(val, mesh, "col", axis)
+        elif key in ("project_in", "project_out"):
+            out[key] = shard_tree(val)
+        else:
+            out[key] = shard_tree(val)
+
+    layers = []
+    for lp in params["layers"]:
+        new_lp = jax.tree_util.tree_map(lambda x: x, lp)  # shallow-ish copy
+        handled = set()
+        for name, mode in rules.items():
+            try:
+                lin = get_path(new_lp, name)
+            except (KeyError, TypeError):
+                continue
+            set_path(new_lp, name, _shard_linear(lin, mesh, mode, axis))
+            handled.add(name.split(".")[0])
+        # replicate everything else (norms)
+        for k, v in new_lp.items():
+            if k not in handled and not isinstance(v, PackedLinear):
+                if isinstance(v, dict) and ("kernel" in v or "w" in v):
+                    new_lp[k] = shard_tree(v)
+                elif isinstance(v, dict):
+                    pass  # container already handled per-linear
+                else:
+                    new_lp[k] = replicate(v)
+        layers.append(new_lp)
+    out["layers"] = layers
+    return out
+
+
+def shard_cache(cache, mesh: Mesh, axis: str = "tp"):
+    """KV cache sharded over heads (axis 3 of (L, B, S, Hkv, D))."""
+    from ..runtime.runner import KVCache
+    tp = mesh.shape[axis]
+    spec = P(None, None, None, axis, None) if cache.k.shape[3] % tp == 0 \
+        else P(None, None, None, None, None)
+    return KVCache(_shard(mesh, cache.k, spec), _shard(mesh, cache.v, spec),
+                   _shard(mesh, cache.offset, P()))

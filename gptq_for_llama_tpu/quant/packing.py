@@ -45,6 +45,11 @@ def pack_rows(codes: np.ndarray, bits: int) -> np.ndarray:
     _check_bits(bits)
     codes = np.ascontiguousarray(codes).astype(np.uint32)
     k = codes.shape[0]
+    if (k % 32 == 0 if bits == 3 else k % (32 // bits) == 0):
+        from .. import native  # C++ fast path (native/packlib.cpp)
+        out = native.pack_rows(codes, bits)
+        if out is not None:
+            return out
     if bits == 3:
         if k % 32 != 0:
             raise ValueError(f"3-bit packing needs K % 32 == 0, got {k}")
@@ -75,6 +80,11 @@ def pack_rows(codes: np.ndarray, bits: int) -> np.ndarray:
 def unpack_rows(packed: np.ndarray, bits: int, k: int | None = None) -> np.ndarray:
     """Unpack int32 (K*bits//32, N) -> int32 codes (K, N) along axis 0."""
     _check_bits(bits)
+    kfull = packed.shape[0] * 32 // bits
+    from .. import native  # C++ fast path (native/packlib.cpp)
+    out = native.unpack_rows(packed, bits, kfull)
+    if out is not None:
+        return out[:k] if k is not None else out
     w = np.ascontiguousarray(packed).view(np.uint32) if packed.dtype == np.int32 else packed.astype(np.uint32)
     if bits == 3:
         c = w.reshape(-1, 3, *w.shape[1:])

@@ -34,6 +34,13 @@ class QuantConfig:
     grid: int = 100
     maxshrink: float = 0.8
     trits: bool = False
+    # The reference wire format stores asymmetric zero-points as ``zero - 1`` in
+    # packed uint words (quant_linear.py:356), so zero == 0 (an all-positive
+    # group) wraps to maxq and dequantizes as maxq+1 — the reference's packed
+    # kernels silently diverge from its own fake-quant eval there. wire_safe
+    # clamps zero into [1, maxq] so the packed grid is always exactly
+    # representable; off by default to keep bit-parity with reference math.
+    wire_safe: bool = False
 
     @property
     def maxq(self) -> int:
@@ -79,6 +86,8 @@ def _params_from_range(xmin, xmax, cfg: QuantConfig):
         zero = jnp.full_like(scale, (maxq + 1) / 2)
     else:
         zero = jnp.round(-xmin / scale)
+        if cfg.wire_safe:
+            zero = jnp.clip(zero, 1.0, float(maxq))
     return scale, zero
 
 
@@ -99,6 +108,8 @@ def _mse_refine(x2d, xmin, xmax, scale, zero, cfg: QuantConfig):
         xmax1 = p * xmax
         scale1 = (xmax1 - xmin1) / maxq
         zero1 = zero if cfg.sym else jnp.round(-xmin1 / scale1)
+        if not cfg.sym and cfg.wire_safe:
+            zero1 = jnp.clip(zero1, 1.0, float(maxq))
         q = quantize_affine(x2d, scale1[:, None], zero1[:, None], maxq)
         err = jnp.sum(jnp.abs(q - x2d) ** cfg.norm, axis=1)
         better = err < best

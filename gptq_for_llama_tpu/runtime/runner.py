@@ -1,0 +1,290 @@
+"""Inference runner: jitted prefill/decode steps over a static KV cache.
+
+The TPU-native replacement for the reference's HF `model.generate` decode loop
+(reference: llama_inference.py:109-128) and `benchmark` harness
+(llama.py:385-438):
+
+- The growing concat KV cache + growing attention mask (reference
+  llama.py:417-421) become a preallocated (L, B, max_len, Hkv, D) cache with
+  `dynamic_update_slice` writes and an offset-parameterized additive mask —
+  static shapes, so prefill and every decode step are each ONE compiled program.
+- Layers are stacked into a single pytree and driven by `lax.scan` — one layer
+  trace instead of num_layers copies (compile time and code size O(1) in depth).
+- The reference's autotune warmup over the M=2^0..2^11 shape ladder
+  (quant_linear.py:393-423) becomes `warmup()`: AOT compiles of the prefill
+  buckets + decode step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_arch
+from ..models.common import decode_mask
+
+
+def stack_layers(layers: list):
+    """Stack per-layer pytrees leaf-wise for lax.scan; None on mismatch."""
+    treedefs = {jax.tree_util.tree_structure(lp) for lp in layers}
+    if len(treedefs) != 1:
+        return None
+    shapes = [tuple(x.shape for x in jax.tree_util.tree_leaves(lp)) for lp in layers]
+    if len(set(shapes)) != 1:
+        return None  # heterogeneous (e.g. --observe mixed-precision) checkpoints
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # (L, B, max_len, Hkv, D)
+    v: jax.Array
+    offset: jax.Array  # scalar int32: number of valid tokens
+
+    @classmethod
+    def zeros(cls, cfg, num_layers: int, batch: int, max_len: int, dtype):
+        shape = (num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                   jnp.zeros((), jnp.int32))
+
+
+jax.tree_util.register_pytree_node(
+    KVCache,
+    lambda c: ((c.k, c.v, c.offset), None),
+    lambda _, ch: KVCache(*ch))
+
+
+class ModelRunner:
+    """Owns jitted prefill/decode for one (model, batch, max_len) configuration."""
+
+    def __init__(self, arch_name: str, cfg, params, batch_size: int = 1,
+                 max_seq_len: Optional[int] = None, dtype=jnp.bfloat16):
+        self.arch = get_arch(arch_name)
+        self.arch_name = arch_name
+        self.cfg = cfg
+        self.params = params
+        self.batch = batch_size
+        self.max_len = max_seq_len or cfg.max_seq_len
+        self.dtype = dtype
+        self.stacked = stack_layers(params["layers"])
+        # everything the jitted step reads must be an ARGUMENT, not a closure
+        # capture — closed-over arrays get baked into the program as constants
+        # (multi-GB programs, pathological compiles)
+        self._step_params = {
+            "statics": {k: v for k, v in params.items() if k != "layers"},
+            "stacked": self.stacked,
+            "layers": None if self.stacked is not None else params["layers"],
+        }
+        self._prefill_cache: dict[int, callable] = {}
+        self._decode = jax.jit(self._step_fn(1))
+        self._decode_scan_cache: dict[int, callable] = {}
+
+    # -- model step ---------------------------------------------------------
+
+    def _scan_layers(self, sp, x, positions, mask, cache: KVCache):
+        arch, cfg = self.arch, self.cfg
+        if sp["stacked"] is not None:
+            def body(carry, layer_in):
+                xc = carry
+                lp, ck, cv = layer_in
+                y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
+                                              (ck, cv, cache.offset))
+                return y, (ck2, cv2)
+
+            x, (k_new, v_new) = jax.lax.scan(
+                body, x, (sp["stacked"], cache.k, cache.v))
+            return x, KVCache(k_new, v_new, cache.offset)
+        # heterogeneous layers: unrolled loop (still one jit)
+        ks, vs = [], []
+        for li, lp in enumerate(sp["layers"]):
+            x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
+                                        (cache.k[li], cache.v[li], cache.offset))
+            ks.append(k2)
+            vs.append(v2)
+        return x, KVCache(jnp.stack(ks), jnp.stack(vs), cache.offset)
+
+    def _step_fn(self, s: int):
+        arch, cfg = self.arch, self.cfg
+
+        def step(sp, ids, cache: KVCache):
+            statics = sp["statics"]
+            positions = cache.offset + jnp.arange(s)[None, :]
+            mask = decode_mask(s, self.max_len, cache.offset)
+            x = arch.embed(statics, cfg, ids, positions).astype(self.dtype)
+            x, cache = self._scan_layers(sp, x, positions, mask, cache)
+            logits = arch.head(statics, cfg, x)
+            cache = KVCache(cache.k, cache.v, cache.offset + s)
+            return logits, cache
+
+        return step
+
+    def init_cache(self) -> KVCache:
+        return KVCache.zeros(self.cfg, len(self.params["layers"]), self.batch,
+                             self.max_len, self.dtype)
+
+    def prefill(self, ids, cache: KVCache):
+        """ids: (B, S) — prompt pass. Compiles per distinct S (bucket ladder)."""
+        s = ids.shape[1]
+        if s not in self._prefill_cache:
+            self._prefill_cache[s] = jax.jit(self._step_fn(s))
+        return self._prefill_cache[s](self._step_params, ids, cache)
+
+    def decode(self, ids, cache: KVCache):
+        """ids: (B, 1) — one decode step under the cached-compile jit."""
+        return self._decode(self._step_params, ids, cache)
+
+    def decode_greedy_scan(self, ids, cache: KVCache, steps: int):
+        """Run `steps` greedy decode iterations inside ONE compiled program.
+
+        ids: (B, 1) first token. Returns (tokens (B, steps), cache). lax.scan
+        keeps the whole token loop on device — one host dispatch for N tokens
+        (the reference pays a python-loop dispatch per token, llama.py:406).
+        """
+        if steps not in self._decode_scan_cache:
+            step = self._step_fn(1)
+
+            @jax.jit
+            def run(sp, tok0, cache):
+                def body(carry, _):
+                    tok, cache = carry
+                    logits, cache = step(sp, tok, cache)
+                    nxt = jnp.argmax(logits[:, -1].astype(jnp.float32),
+                                     axis=-1).astype(jnp.int32)[:, None]
+                    return (nxt, cache), nxt[:, 0]
+                (_, cache), toks = jax.lax.scan(body, (tok0, cache), None,
+                                                length=steps)
+                return jnp.swapaxes(toks, 0, 1), cache
+
+            self._decode_scan_cache[steps] = run
+        return self._decode_scan_cache[steps](self._step_params, ids, cache)
+
+    def warmup(self, prefill_buckets=(128,)):
+        """AOT compile decode + given prefill lengths (the reference's
+        autotune_warmup_linear/fused equivalent, quant_linear.py:393-423)."""
+        cache = self.init_cache()
+        for s in prefill_buckets:
+            ids = jnp.zeros((self.batch, s), jnp.int32)
+            jax.block_until_ready(self.prefill(ids, cache)[0])
+        ids1 = jnp.zeros((self.batch, 1), jnp.int32)
+        jax.block_until_ready(self.decode(ids1, cache)[0])
+
+
+# ---------------------------------------------------------------------------
+# sampling (reference llama_inference.py:119-127 flags: top_p/temperature/min len)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("top_k",))
+def sample_logits(logits, key, temperature: float, top_p: float, top_k: int = 0):
+    """Temperature + nucleus (top-p) + optional top-k sampling; (B, V) -> (B,)."""
+    logits = logits.astype(jnp.float32)
+    greedy = jnp.argmax(logits, axis=-1)
+
+    t = jnp.maximum(temperature, 1e-6)
+    scaled = logits / t
+    if top_k and top_k > 0:
+        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+    # top-p: drop lowest-prob tail beyond cumulative p
+    sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # keep one past the boundary
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
+    filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
+    sampled = jax.random.categorical(key, filtered, axis=-1)
+    return jnp.where(temperature == 0.0, greedy, sampled)
+
+
+def generate(runner: ModelRunner, prompt_ids, max_new_tokens: int,
+             temperature: float = 0.8, top_p: float = 0.95, top_k: int = 0,
+             min_new_tokens: int = 0, eos_token_id: Optional[int] = None,
+             seed: int = 0, stream=None):
+    """Autoregressive generation (reference llama_inference.py:109-128 semantics).
+
+    prompt_ids: (B, S) or (S,) int. Returns (B, S + new) generated ids (numpy).
+    """
+    ids = np.atleast_2d(np.asarray(prompt_ids, dtype=np.int32))
+    b, s = ids.shape
+    assert b == runner.batch, f"runner batch {runner.batch} != prompt batch {b}"
+    assert s + max_new_tokens <= runner.max_len, "exceeds cache capacity"
+    key = jax.random.PRNGKey(seed)
+
+    cache = runner.init_cache()
+    logits, cache = runner.prefill(jnp.asarray(ids), cache)
+    out = [ids]
+    last = logits[:, -1]
+    done = np.zeros(b, bool)
+    for step in range(max_new_tokens):
+        key, sub = jax.random.split(key)
+        nxt = sample_logits(last, sub, temperature, top_p, top_k)
+        nxt = np.asarray(nxt, np.int32)
+        if eos_token_id is not None and step >= min_new_tokens:
+            done |= nxt.reshape(-1) == eos_token_id
+        out.append(nxt.reshape(b, 1))
+        if stream is not None:
+            stream(nxt.reshape(-1))
+        if done.all():
+            break
+        logits, cache = runner.decode(jnp.asarray(nxt.reshape(b, 1)), cache)
+        last = logits[:, -1]
+    return np.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# decode benchmark (reference llama.py:385-438)
+# ---------------------------------------------------------------------------
+
+def benchmark_decode(runner: ModelRunner, input_ids, check: bool = False,
+                     log=print) -> dict:
+    """Feed input_ids one token at a time through the decode step; report
+    median per-token latency (reference prints median tok time, llama.py:435),
+    max device memory, and optional next-token PPL over the driven tokens
+    (--check, llama.py:404-437).
+    """
+    ids = np.atleast_2d(np.asarray(input_ids, dtype=np.int32))
+    b, n = ids.shape
+    assert n <= runner.max_len
+    cache = runner.init_cache()
+    # compile outside the timed region (reference syncs before timing)
+    runner.warmup(prefill_buckets=())
+
+    times = []
+    nll = 0.0
+    logits = None
+    for i in range(n):
+        tok = jnp.asarray(ids[:, i:i + 1])
+        t0 = time.perf_counter()
+        logits, cache = runner.decode(tok, cache)
+        jax.block_until_ready(logits)
+        times.append(time.perf_counter() - t0)
+        if check and i + 1 < n:
+            lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+            nll -= float(jnp.mean(lp[jnp.arange(b), ids[:, i + 1]]))
+        if (i + 1) % 256 == 0:
+            log(f"  benchmark {i + 1}/{n} median {np.median(times) * 1e3:.2f} ms")
+
+    med = float(np.median(times))
+    result = {
+        "tokens": n,
+        "median_latency_s": med,
+        "tokens_per_s": (1.0 / med) * b,
+        "max_memory_bytes": _device_peak_memory(),
+    }
+    if check and n > 1:
+        result["ppl"] = float(np.exp(nll / (n - 1)))
+    return result
+
+
+def _device_peak_memory() -> int:
+    """Max memory telemetry (reference torch.cuda.memory_allocated, llama.py:425)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return int(stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)))
+    except Exception:
+        return 0

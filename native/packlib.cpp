@@ -1,0 +1,119 @@
+// Native bit-packing library: the host-side hot loop of checkpoint packing.
+//
+// The reference packs weights with a per-row Python loop over torch tensors
+// (reference: quant/quant_linear.py:342-371), which is the slowest stage of
+// its pipeline ("pack" phase). This library provides cache-friendly,
+// OpenMP-parallel pack/unpack for the same wire format:
+//   - 2/4/8-bit: little-endian fields along the K (row) axis, 32/bits per word
+//   - 3-bit: the standard GPTQ 32-values-per-3-words scheme (values 10 and 21
+//     straddle word boundaries) — see quant/packing.py for the bit layout
+//
+// Exposed as a C ABI for ctypes (no pybind11 in this environment).
+
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+
+// codes: (K, N) uint32 row-major; out: (K*bits/32, N) uint32 row-major.
+void pack_rows(const uint32_t* codes, uint32_t* out, int64_t k, int64_t n,
+               int bits) {
+  const int64_t ipw = 32 / bits;          // integers per word (2/4/8-bit)
+  if (bits == 3) {
+    const int64_t blocks = k / 32;        // 32 values -> 3 words
+#pragma omp parallel for
+    for (int64_t b = 0; b < blocks; ++b) {
+      const uint32_t* src = codes + b * 32 * n;
+      uint32_t* dst = out + b * 3 * n;
+      for (int64_t col = 0; col < n; ++col) {
+        uint32_t w0 = 0, w1 = 0, w2 = 0;
+        for (int j = 0; j < 10; ++j) w0 |= src[j * n + col] << (3 * j);
+        w0 |= (src[10 * n + col] & 0x3u) << 30;
+        w1 = src[10 * n + col] >> 2;
+        for (int j = 0; j < 10; ++j) w1 |= src[(11 + j) * n + col] << (3 * j + 1);
+        w1 |= (src[21 * n + col] & 0x1u) << 31;
+        w2 = src[21 * n + col] >> 1;
+        for (int j = 0; j < 10; ++j) w2 |= src[(22 + j) * n + col] << (3 * j + 2);
+        dst[col] = w0;
+        dst[n + col] = w1;
+        dst[2 * n + col] = w2;
+      }
+    }
+    return;
+  }
+  const uint32_t mask = (bits == 32) ? 0xffffffffu : ((1u << bits) - 1u);
+  const int64_t words = k / ipw;
+#pragma omp parallel for
+  for (int64_t w = 0; w < words; ++w) {
+    const uint32_t* src = codes + w * ipw * n;
+    uint32_t* dst = out + w * n;
+    for (int64_t col = 0; col < n; ++col) {
+      uint32_t acc = 0;
+      for (int64_t j = 0; j < ipw; ++j)
+        acc |= (src[j * n + col] & mask) << (bits * j);
+      dst[col] = acc;
+    }
+  }
+}
+
+// packed: (K*bits/32, N) uint32; out: (K, N) uint32.
+void unpack_rows(const uint32_t* packed, uint32_t* out, int64_t k, int64_t n,
+                 int bits) {
+  const int64_t ipw = 32 / bits;
+  if (bits == 3) {
+    const int64_t blocks = k / 32;
+#pragma omp parallel for
+    for (int64_t b = 0; b < blocks; ++b) {
+      const uint32_t* src = packed + b * 3 * n;
+      uint32_t* dst = out + b * 32 * n;
+      for (int64_t col = 0; col < n; ++col) {
+        const uint32_t w0 = src[col], w1 = src[n + col], w2 = src[2 * n + col];
+        for (int j = 0; j < 10; ++j) dst[j * n + col] = (w0 >> (3 * j)) & 0x7u;
+        dst[10 * n + col] = ((w0 >> 30) & 0x3u) | ((w1 & 0x1u) << 2);
+        for (int j = 0; j < 10; ++j)
+          dst[(11 + j) * n + col] = (w1 >> (3 * j + 1)) & 0x7u;
+        dst[21 * n + col] = ((w1 >> 31) & 0x1u) | ((w2 & 0x3u) << 1);
+        for (int j = 0; j < 10; ++j)
+          dst[(22 + j) * n + col] = (w2 >> (3 * j + 2)) & 0x7u;
+      }
+    }
+    return;
+  }
+  const uint32_t mask = (1u << bits) - 1u;
+  const int64_t words = k / ipw;
+#pragma omp parallel for
+  for (int64_t w = 0; w < words; ++w) {
+    const uint32_t* src = packed + w * n;
+    uint32_t* dst = out + w * ipw * n;
+    for (int64_t col = 0; col < n; ++col) {
+      const uint32_t word = src[col];
+      for (int64_t j = 0; j < ipw; ++j)
+        dst[j * n + col] = (word >> (bits * j)) & mask;
+    }
+  }
+}
+
+// Quantize a float weight to integer codes: codes = rint(w / s + z), clamped.
+// w: (N, K) row-major (out-features x in-features, torch layout);
+// scales/zeros: (N, G); g_idx: (K,); out codes: (K, N) (wire layout).
+void quantize_to_codes(const float* w, const float* scales, const float* zeros,
+                       const int32_t* g_idx, uint32_t* out, int64_t n_rows,
+                       int64_t k, int64_t g, int maxq) {
+#pragma omp parallel for
+  for (int64_t kk = 0; kk < k; ++kk) {
+    const int32_t grp = g_idx[kk];
+    for (int64_t row = 0; row < n_rows; ++row) {
+      const float s = scales[row * g + grp];
+      const float z = zeros[row * g + grp];
+      float q = w[row * k + kk] / s + z;
+      q = q < 0.f ? 0.f : q;
+      long r = (long)(q + 0.5f);
+      if (r > maxq) r = maxq;
+      out[kk * n_rows + row] = (uint32_t)r;
+    }
+  }
+}
+
+int packlib_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,119 @@
+"""Pallas kernel equivalence vs the XLA dequant-matmul oracle (interpret mode).
+
+Every Pallas kernel ships with a jnp reference implementation; these tests pin
+them together on CPU (interpret=True). Real-chip numerics are exercised by
+bench.py and the TPU smoke path.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gptq_for_llama_tpu.ops.linear import PackedLinear, quant_matmul_xla
+from gptq_for_llama_tpu.ops.pallas import matmul as pmm
+from gptq_for_llama_tpu.quant import packing
+
+
+def _random_packed(k, n, bits, groupsize, seed=0, actorder=False):
+    rng = np.random.RandomState(seed)
+    g = k // groupsize
+    codes = rng.randint(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    qweight = packing.pack_rows(codes, bits)
+    zeros = rng.randint(1, 2 ** bits, size=(g, n)).astype(np.uint32)
+    qzeros = packing.pack_cols(zeros - 1, bits)
+    scales = (rng.rand(g, n).astype(np.float32) * 0.02 + 0.005)
+    g_idx = (np.arange(k) // groupsize).astype(np.int32)
+    if actorder:
+        p = rng.permutation(k)
+        codes_p = packing.unpack_rows(qweight, bits, k=k)[np.argsort(p)]
+        # rebuild wire in a scrambled row order with matching g_idx
+        qweight = packing.pack_rows(codes_p, bits)
+        g_idx = g_idx[np.argsort(p)]
+    return PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=bits,
+                                  dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+@pytest.mark.parametrize("m", [1, 8, 33])
+def test_qmm_matches_xla(bits, m):
+    k, n, gs = 128, 128, 32
+    lin = _random_packed(k, n, bits, gs, seed=bits)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    # kernel feeds the MXU bf16 inputs (like the reference's fp16 kernels);
+    # the f32 oracle differs by bf16 input rounding, which scales with |y|
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
+def test_qmm_3d_batch_and_bias():
+    k, n, gs = 64, 128, 32
+    lin = _random_packed(k, n, 4, gs)
+    lin = PackedLinear(lin.qweight, lin.qzeros, lin.scales, lin.zeros,
+                       lin.g_idx, lin.perm,
+                       jnp.asarray(np.linspace(-1, 1, n), jnp.float32),
+                       lin.bits, lin.groupsize, lin.in_features, lin.out_features)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.standard_normal((2, 5, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    assert got.shape == (2, 5, n)
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_qmm_actorder_perm():
+    k, n, gs = 64, 128, 16
+    lin = _random_packed(k, n, 4, gs, actorder=True)
+    assert lin.perm is not None
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
+
+
+def test_fused_mlp_matches_unfused():
+    import jax
+    from gptq_for_llama_tpu.ops.pallas import mlp as pmlp
+    k, n, gs = 128, 128, 32
+    gate = _random_packed(k, n, 4, gs, seed=10)
+    up = _random_packed(k, n, 4, gs, seed=11)
+    assert pmlp.supports_fused(gate, up)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.standard_normal((8, k)).astype(np.float32))
+    g = quant_matmul_xla(x, gate, dtype=jnp.float32)
+    u = quant_matmul_xla(x, up, dtype=jnp.float32)
+    want = np.asarray(jax.nn.silu(g) * u)
+    got = np.asarray(pmlp.fused_mlp_pallas(x, gate, up, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
+def test_rms_norm_matches_jnp():
+    from gptq_for_llama_tpu.ops.pallas.norm import rms_norm_pallas
+    from gptq_for_llama_tpu.models.common import rms_norm
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.standard_normal((2, 7, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(256).astype(np.float32))
+    want = np.asarray(rms_norm(x, w, 1e-6))
+    got = np.asarray(rms_norm_pallas(x, w, 1e-6, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_supports_gates():
+    lin = _random_packed(128, 128, 4, 32)
+    assert pmm.supports(lin)
+    lin3 = _random_packed(96, 128, 3, 32) if False else None
+    # 3-bit goes to XLA fallback
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 8, size=(96, 128)).astype(np.uint32)
+    qweight = packing.pack_rows(codes, 3)
+    zeros = np.ones((3, 128), np.uint32)
+    qzeros = packing.pack_cols(zeros, 3)
+    scales = np.ones((3, 128), np.float32)
+    g_idx = (np.arange(96) // 32).astype(np.int32)
+    lin3 = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=3,
+                                  dtype=jnp.float32)
+    assert not pmm.supports(lin3)

@@ -38,7 +38,10 @@ def test_zero_range_guard():
     cfg = QuantConfig(bits=4, perchannel=True, sym=False)
     s, z = find_params_weight(w, cfg)
     np.testing.assert_allclose(np.asarray(s)[:, 0], 2.0 / 15.0, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(z)[:, 0], np.rint(1.0 / (2.0 / 15.0)))
+    # oracle in fp32: 1/(2/15) = 7.4999995f -> 7 (torch fp32 computes the same;
+    # a float64 oracle would give 7.5 -> 8)
+    expect_z = np.rint(np.float32(1.0) / (np.float32(2.0) / np.float32(15.0)))
+    np.testing.assert_allclose(np.asarray(z)[:, 0], expect_z)
 
 
 @pytest.mark.parametrize("sym", [False, True])

@@ -1,0 +1,140 @@
+"""Runtime tests: KV-cached prefill/decode must match the plain causal forward,
+generation must be deterministic when greedy, benchmark harness must report."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_for_llama_tpu.models import registry
+from gptq_for_llama_tpu.models.config import ModelConfig
+from gptq_for_llama_tpu.runtime import (ModelRunner, benchmark_decode, generate,
+                                        sample_logits)
+
+
+def _tiny_cfg(arch="llama", **kw):
+    base = dict(arch=arch, vocab_size=64, hidden_size=32, intermediate_size=64,
+                num_layers=2, num_heads=4, num_kv_heads=4, head_dim=8,
+                max_seq_len=64)
+    if arch == "opt":
+        base.update(pos_embedding="learned", attn_bias=True, mlp_bias=True,
+                    act="relu", norm_eps=1e-5)
+    if arch == "neox":
+        base.update(act="gelu", parallel_residual=True, rotary_pct=0.5,
+                    attn_bias=True, mlp_bias=True, norm_eps=1e-5)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _params(cfg):
+    arch = registry.get_arch(cfg.arch)
+    return arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+
+
+def _check_cached_matches_full(arch_name, prompt_len=5, decode_len=4):
+    cfg = _tiny_cfg(arch_name)
+    params = _params(cfg)
+    arch = registry.get_arch(arch_name)
+    rng = np.random.default_rng(0)
+    total = prompt_len + decode_len
+    ids = rng.integers(0, cfg.vocab_size, size=(1, total)).astype(np.int32)
+
+    full_logits = np.asarray(arch.forward(params, cfg, jnp.asarray(ids)))
+
+    runner = ModelRunner(arch_name, cfg, params, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    cache = runner.init_cache()
+    logits_p, cache = runner.prefill(jnp.asarray(ids[:, :prompt_len]), cache)
+    got = [np.asarray(logits_p)]
+    for i in range(prompt_len, total):
+        logits_d, cache = runner.decode(jnp.asarray(ids[:, i:i + 1]), cache)
+        got.append(np.asarray(logits_d))
+    cached_logits = np.concatenate(got, axis=1)
+    np.testing.assert_allclose(cached_logits, full_logits, atol=2e-4, rtol=1e-3)
+
+
+def test_llama_cached_decode_matches_forward():
+    _check_cached_matches_full("llama")
+
+
+def test_opt_cached_decode_matches_forward():
+    _check_cached_matches_full("opt")
+
+
+def test_neox_cached_decode_matches_forward():
+    _check_cached_matches_full("neox")
+
+
+def test_greedy_generation_deterministic():
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    prompt = np.array([1, 2, 3], dtype=np.int32)
+    out1 = generate(runner, prompt, max_new_tokens=8, temperature=0.0)
+    out2 = generate(runner, prompt, max_new_tokens=8, temperature=0.0, seed=7)
+    np.testing.assert_array_equal(out1, out2)
+    assert out1.shape == (1, 11)
+
+
+def test_sampling_top_p_restricts_support():
+    logits = jnp.asarray(np.array([[10.0, 9.0, -50.0, -50.0]]))
+    key = jax.random.PRNGKey(0)
+    for i in range(8):
+        tok = int(sample_logits(logits, jax.random.fold_in(key, i),
+                                temperature=1.0, top_p=0.9)[0])
+        assert tok in (0, 1)
+    # greedy
+    assert int(sample_logits(logits, key, 0.0, 1.0)[0]) == 0
+
+
+def test_decode_greedy_scan_matches_stepwise():
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    prompt = np.array([[1, 2, 3]], dtype=np.int32)
+    # stepwise greedy
+    want = generate(runner, prompt, max_new_tokens=6, temperature=0.0)[0, 3:]
+    # scan greedy: prefill then 5 more steps from the first sampled token
+    cache = runner.init_cache()
+    logits, cache = runner.prefill(jnp.asarray(prompt), cache)
+    tok0 = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+    toks, _ = runner.decode_greedy_scan(tok0, cache, 5)
+    got = np.concatenate([np.asarray(tok0)[0], np.asarray(toks)[0]])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_benchmark_decode_reports():
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    ids = np.arange(12, dtype=np.int32) % cfg.vocab_size
+    res = benchmark_decode(runner, ids, check=True, log=lambda *_: None)
+    assert res["tokens"] == 12
+    assert res["median_latency_s"] > 0
+    assert np.isfinite(res["ppl"])
+
+
+def test_packed_model_runner(tmp_path):
+    """Runner over PackedLinear weights (scan-stacked) matches dense fake-quant."""
+    import hf_tiny
+    from gptq_for_llama_tpu.models import hf_loader
+    from gptq_for_llama_tpu.data import get_loaders
+    from gptq_for_llama_tpu.engine import QuantizeSpec, pack_model, quantize_model
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path)
+    cfg, params = hf_loader.load_params(d, dtype=jnp.float32, seqlen=32)
+    train, _ = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=16, chunk=4)
+    params, quantizers, _ = quantize_model("llama", cfg, params, train, spec,
+                                           verbose=False)
+    arch = registry.get_arch("llama")
+    ids = np.arange(10, dtype=np.int32)[None] % cfg.vocab_size
+    want = np.asarray(arch.forward(params, cfg, jnp.asarray(ids)))
+    params = pack_model("llama", cfg, params, quantizers, dtype=jnp.float32)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    assert runner.stacked is not None, "packed layers should stack for scan"
+    cache = runner.init_cache()
+    logits, _ = runner.prefill(jnp.asarray(ids), cache)
+    np.testing.assert_allclose(np.asarray(logits), want, atol=5e-3, rtol=0)
