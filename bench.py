@@ -61,7 +61,7 @@ def random_packed_llama(cfg, dtype, groupsize=128):
             zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), dtype=dtype),
             g_idx=jnp.asarray((np.arange(k) // groupsize).astype(np.int32)),
             perm=None, bias=None, bits=4, groupsize=groupsize,
-            in_features=k, out_features=n)
+            in_features=k, out_features=n, layout="tpu")
         shape_cache[(k, n)] = lin
         return lin
 

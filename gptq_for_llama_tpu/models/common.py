@@ -72,24 +72,35 @@ def apply_rope(q, k, cos, sin, rotary_dim: int | None = None):
 def update_kv_cache(cache_k, cache_v, k_new, v_new, offset):
     """Write k/v at [offset, offset+s) of a static-size cache.
 
-    cache_k/v: (B, max_len, Hkv, D); k_new/v_new: (B, s, Hkv, D); offset: traced
-    int32. The TPU-native replacement for the reference's growing concat KV cache
-    (reference: quant/fused_attn.py:140-143) — static shapes keep decode under one
-    compiled step.
+    cache_k/v: (B, max_len, Hkv, D); k_new/v_new: (B, s, Hkv, D); offset:
+    traced int32 scalar (all rows aligned) or (B,) vector (continuous batching:
+    every slot at its own position). The TPU-native replacement for the
+    reference's growing concat KV cache (reference: quant/fused_attn.py:140-143)
+    — static shapes keep decode under one compiled step.
     """
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k_new.astype(cache_k.dtype),
-                                           (0, offset, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v_new.astype(cache_v.dtype),
-                                           (0, offset, 0, 0))
-    return cache_k, cache_v
+    k_new = k_new.astype(cache_k.dtype)
+    v_new = v_new.astype(cache_v.dtype)
+    if jnp.ndim(offset) == 0:
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, offset, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, offset, 0, 0))
+        return cache_k, cache_v
+    upd = jax.vmap(lambda c, n, o: jax.lax.dynamic_update_slice(
+        c, n, (o, 0, 0)))
+    return upd(cache_k, k_new, offset), upd(cache_v, v_new, offset)
 
 
 def decode_mask(q_len: int, max_len: int, offset, dtype=jnp.float32):
     """Additive mask for cached attention: query i (at abs pos offset+i) sees
-    cache slots j <= offset + i. Shape (q_len, max_len); offset may be traced."""
+    cache slots j <= offset + i.
+
+    offset scalar -> (q_len, max_len); offset (B,) -> (B, 1, q_len, max_len)
+    (per-slot positions for continuous batching)."""
     qi = jnp.arange(q_len)[:, None]
     kj = jnp.arange(max_len)[None, :]
-    allowed = kj <= qi + offset
+    if jnp.ndim(offset) == 0:
+        allowed = kj <= qi + offset
+    else:
+        allowed = (kj[None] <= qi[None] + offset[:, None, None])[:, None]
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 

@@ -90,9 +90,15 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     """
     h_attn_in = rms_norm(x, lp["input_layernorm"], cfg.norm_eps)
     att = lp["self_attn"]
-    q = linear_apply(att["q_proj"], h_attn_in)
-    k = linear_apply(att["k_proj"], h_attn_in)
-    v = linear_apply(att["v_proj"], h_attn_in)
+    if "qkv_proj" in att:  # load-time fused projection (see fuse_attention)
+        qh = cfg.num_heads * cfg.head_dim
+        kvh = cfg.num_kv_heads * cfg.head_dim
+        qkv = linear_apply(att["qkv_proj"], h_attn_in)
+        q, k, v = (qkv[..., :qh], qkv[..., qh:qh + kvh], qkv[..., qh + kvh:])
+    else:
+        q = linear_apply(att["q_proj"], h_attn_in)
+        k = linear_apply(att["k_proj"], h_attn_in)
+        v = linear_apply(att["v_proj"], h_attn_in)
     b, s, _ = x.shape
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
@@ -122,6 +128,29 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
         "mlp.down_proj": h_down_in,
     }
     return y, taps, present
+
+
+def fuse_attention(params):
+    """Fuse per-layer q/k/v PackedLinears into one qkv_proj (in place).
+
+    The module-surgery equivalent of the reference's make_quant_attn
+    (reference: quant/fused_attn.py:164-204). No-op for layers whose q/k/v are
+    dense or have incompatible layouts.
+    """
+    from ..ops.linear import PackedLinear
+    for lp in params["layers"]:
+        att = lp["self_attn"]
+        lins = [att.get(n) for n in ("q_proj", "k_proj", "v_proj")]
+        if not all(isinstance(l, PackedLinear) for l in lins):
+            continue
+        try:
+            fused = PackedLinear.concat_outputs(lins)
+        except ValueError:
+            continue
+        att["qkv_proj"] = fused
+        for n in ("q_proj", "k_proj", "v_proj"):
+            del att[n]
+    return params
 
 
 def head(params, cfg: ModelConfig, x):

@@ -54,11 +54,15 @@ class PackedLinear:
     groupsize: int
     in_features: int
     out_features: int
+    # 'wire' = reference row-major nibble order; 'tpu' = group-local nibble
+    # interleave so kernels unpack by concat (see quant/packing.py TPU layout)
+    layout: str = "wire"
 
     def tree_flatten(self):
         children = (self.qweight, self.qzeros, self.scales, self.zeros,
                     self.g_idx, self.perm, self.bias)
-        aux = (self.bits, self.groupsize, self.in_features, self.out_features)
+        aux = (self.bits, self.groupsize, self.in_features, self.out_features,
+               self.layout)
         return children, aux
 
     @classmethod
@@ -86,6 +90,11 @@ class PackedLinear:
 
         zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
 
+        layout = "wire"
+        if packing.tpu_layout_supported(k, bits, groupsize):
+            qweight = packing.to_tpu_layout(np.asarray(qweight), bits, groupsize)
+            layout = "tpu"
+
         return cls(
             qweight=jnp.asarray(qweight),
             qzeros=jnp.asarray(qzeros),
@@ -95,15 +104,57 @@ class PackedLinear:
             perm=None if perm is None else jnp.asarray(perm),
             bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
+            layout=layout,
         )
+
+    @staticmethod
+    def concat_outputs(linears: list["PackedLinear"]) -> "PackedLinear":
+        """Fuse linears sharing the same input into one (concat out-features).
+
+        The load-time equivalent of the reference's fused QKV projection
+        (reference: quant/fused_attn.py:177-188 concatenates q/k/v packed
+        buffers into one QuantLinear): one kernel launch instead of three,
+        and the packed weight is read as one contiguous stream.
+        Requires identical K/bits/groupsize/g_idx/perm.
+        """
+        a = linears[0]
+        for b in linears[1:]:
+            if (b.bits != a.bits or b.groupsize != a.groupsize
+                    or b.in_features != a.in_features or b.layout != a.layout):
+                raise ValueError("fuse: incompatible quantization layouts")
+            if (b.perm is None) != (a.perm is None) or (
+                    a.perm is not None and not bool(jnp.all(a.perm == b.perm))):
+                raise ValueError("fuse: differing input permutations")
+        import numpy as _np
+        qweight = jnp.concatenate([l.qweight for l in linears], axis=1)
+        qzeros = jnp.concatenate([l.qzeros for l in linears], axis=1)
+        scales = jnp.concatenate([l.scales for l in linears], axis=1)
+        zeros = jnp.concatenate([l.zeros for l in linears], axis=1)
+        have_bias = [l.bias is not None for l in linears]
+        if any(have_bias):
+            bias = jnp.concatenate(
+                [l.bias if l.bias is not None
+                 else jnp.zeros((l.out_features,), scales.dtype)
+                 for l in linears])
+        else:
+            bias = None
+        return PackedLinear(
+            qweight=qweight, qzeros=qzeros, scales=scales, zeros=zeros,
+            g_idx=a.g_idx, perm=a.perm, bias=bias, bits=a.bits,
+            groupsize=a.groupsize, in_features=a.in_features,
+            out_features=int(sum(l.out_features for l in linears)),
+            layout=a.layout)
 
     def to_wire(self) -> dict:
         """Reference wire-format numpy buffers (original, unsorted row order).
 
-        Inverse of from_wire: undoes the group-sort row permutation so the saved
-        checkpoint is byte-compatible with reference QuantLinear buffers
-        (reference: quant/quant_linear.py:316-371)."""
+        Inverse of from_wire: undoes the TPU nibble interleave and the
+        group-sort row permutation so the saved checkpoint is byte-compatible
+        with reference QuantLinear buffers (reference:
+        quant/quant_linear.py:316-371)."""
         qweight = np.asarray(self.qweight)
+        if self.layout == "tpu":
+            qweight = packing.from_tpu_layout(qweight, self.bits, self.groupsize)
         if self.perm is not None:
             codes = packing.unpack_rows(qweight, self.bits, k=self.in_features)
             inv = np.argsort(np.asarray(self.perm))
@@ -120,7 +171,12 @@ class PackedLinear:
 
     def dequantize(self, dtype=jnp.bfloat16):
         """Dense (K_sorted, N) weight in device row order (after perm)."""
-        codes = packing.unpack_rows_jnp(self.qweight, self.bits, k=self.in_features)
+        if self.layout == "tpu":
+            codes = packing.unpack_rows_tpu_jnp(self.qweight, self.bits,
+                                                self.groupsize)
+        else:
+            codes = packing.unpack_rows_jnp(self.qweight, self.bits,
+                                            k=self.in_features)
         k, n = self.in_features, self.out_features
         g = self.scales.shape[0]
         s = self.scales.astype(jnp.float32)

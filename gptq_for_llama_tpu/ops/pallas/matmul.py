@@ -42,11 +42,16 @@ from ..linear import PackedLinear
 
 
 def _unpack_rows(w, bits: int, rows: int):
-    """(words, bn) int32 -> (rows, bn) int32 codes (row-major within word)."""
+    """(words, bn) int32 -> (rows, bn) int32 codes — TPU layout.
+
+    The group-local nibble interleave (quant/packing.py to_tpu_layout) makes
+    nibble j of all words = one contiguous row block, so unpack is shift/mask +
+    CONCAT — no cross-sublane interleave (measured ~6x faster on v5e than the
+    stack+reshape the wire layout needs)."""
     ipw = 32 // bits
     maxq = (1 << bits) - 1
     vals = [(jax.lax.shift_right_logical(w, bits * j) & maxq) for j in range(ipw)]
-    return jnp.stack(vals, axis=1).reshape(rows, w.shape[1])
+    return jnp.concatenate(vals, axis=0)
 
 
 def _qmm_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits: int,
@@ -107,6 +112,8 @@ def supports(lin: PackedLinear) -> bool:
     """Shapes/bits this kernel handles; others take the XLA fallback path."""
     if lin.bits not in (2, 4, 8):
         return False  # 3-bit three-word packs: XLA fallback (for now)
+    if lin.layout != "tpu":
+        return False  # kernel unpack assumes the group-interleaved layout
     k, n = lin.in_features, lin.out_features
     g = lin.scales.shape[0]
     if g * lin.groupsize != k:

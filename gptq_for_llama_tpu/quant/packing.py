@@ -155,6 +155,65 @@ def unpack_cols_jnp(packed, bits: int, n: int | None = None):
 
 
 # ---------------------------------------------------------------------------
+# TPU device layout: group-local nibble interleave
+# ---------------------------------------------------------------------------
+#
+# Kernel-side unpack of the wire layout needs a cross-sublane interleave
+# (stack(axis=1).reshape) which Mosaic executes ~6x slower than plain block
+# concatenation. The TPU layout reorders rows WITHIN each group so that word w
+# of a group packs rows {j*wpg + w : j in 0..ipw-1} (wpg = groupsize/ipw);
+# unpacking by [(word >> bits*j) & maxq for j] + concat(axis=0) then yields the
+# group's rows in their original order — no interleave, no activation perm.
+
+
+def _tpu_perm(groupsize: int, bits: int) -> np.ndarray:
+    """Row permutation within one group: packed_row[i] = orig_row[perm[i]]."""
+    ipw = 32 // bits
+    wpg = groupsize // ipw
+    i = np.arange(groupsize)
+    return (i % ipw) * wpg + (i // ipw)
+
+
+def tpu_layout_supported(k: int, bits: int, groupsize: int) -> bool:
+    return (bits in (2, 4, 8) and groupsize % (32 // bits) == 0
+            and groupsize > 0 and k % groupsize == 0)
+
+
+def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
+    """Wire-packed (K*bits/32, N) -> TPU-layout packed, same shape."""
+    k = qweight.shape[0] * 32 // bits
+    codes = unpack_rows(qweight, bits, k=k)
+    perm = _tpu_perm(groupsize, bits)
+    g = k // groupsize
+    codes = codes.reshape(g, groupsize, -1)[:, perm, :].reshape(k, -1)
+    return pack_rows(codes.astype(np.uint32), bits)
+
+
+def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
+    """TPU-layout packed -> wire-packed (inverse of to_tpu_layout)."""
+    k = qweight.shape[0] * 32 // bits
+    codes = unpack_rows(qweight, bits, k=k)
+    perm = _tpu_perm(groupsize, bits)
+    inv = np.argsort(perm)
+    g = k // groupsize
+    codes = codes.reshape(g, groupsize, -1)[:, inv, :].reshape(k, -1)
+    return pack_rows(codes.astype(np.uint32), bits)
+
+
+def unpack_rows_tpu_jnp(packed, bits: int, groupsize: int):
+    """jnp unpack of the TPU layout -> (K, N) codes in original row order."""
+    ipw = 32 // bits
+    maxq = (1 << bits) - 1
+    wpg = groupsize // ipw
+    kw, n = packed.shape
+    g = kw // wpg
+    w = packed.astype(jnp.uint32).reshape(g, wpg, n)
+    vals = [(w >> (bits * j)) & maxq for j in range(ipw)]  # each (g, wpg, n)
+    out = jnp.concatenate(vals, axis=1)  # (g, groupsize, n) rows in order
+    return out.reshape(g * groupsize, n).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Full-tensor pack / dequantize
 # ---------------------------------------------------------------------------
 

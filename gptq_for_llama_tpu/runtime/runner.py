@@ -180,12 +180,18 @@ class ModelRunner:
 # ---------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("top_k",))
-def sample_logits(logits, key, temperature: float, top_p: float, top_k: int = 0):
-    """Temperature + nucleus (top-p) + optional top-k sampling; (B, V) -> (B,)."""
-    logits = logits.astype(jnp.float32)
-    greedy = jnp.argmax(logits, axis=-1)
+def sample_logits(logits, key, temperature, top_p, top_k: int = 0):
+    """Temperature + nucleus (top-p) + optional top-k sampling; (B, V) -> (B,).
 
-    t = jnp.maximum(temperature, 1e-6)
+    temperature/top_p may be scalars or per-row (B,) arrays (continuous
+    batching samples every slot with its own params in ONE call)."""
+    logits = logits.astype(jnp.float32)
+    b = logits.shape[0]
+    greedy = jnp.argmax(logits, axis=-1)
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
+    top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / t
     if top_k and top_k > 0:
         kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
@@ -194,7 +200,7 @@ def sample_logits(logits, key, temperature: float, top_p: float, top_k: int = 0)
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    cutoff_idx = jnp.sum(cum < top_p, axis=-1)  # keep one past the boundary
+    cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)  # keep one past boundary
     cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
     filtered = jnp.where(scaled < cutoff, -jnp.inf, scaled)
     sampled = jax.random.categorical(key, filtered, axis=-1)

@@ -1,0 +1,229 @@
+"""Continuous-batching serving engine.
+
+Beyond the reference (which decodes one sequence via HF generate,
+llama_inference.py:109-128) — required by the north star: decode throughput on
+TPU comes from keeping the weight-bandwidth-bound decode step busy with many
+sequences. Design:
+
+- a fixed pool of B cache slots over one static (L, B, max_len, Hkv, D) KV
+  cache; every slot has its OWN offset (per-slot positions — vector-offset
+  variant of models/common.update_kv_cache);
+- ONE jitted decode step advances all live slots per iteration;
+- arrivals are prefilled into free slots with length-bucketed compiled
+  prefills (right-padding is safe: padded cache slots are masked until the
+  real token at that position overwrites them before first attention read);
+- finished sequences (eos/max_new) free their slot immediately; the scheduler
+  backfills from the queue — classic continuous batching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.registry import get_arch
+from ..models.common import decode_mask
+from .runner import KVCache, sample_logits, stack_layers
+
+
+@dataclasses.dataclass
+class GenRequest:
+    uid: int
+    prompt: np.ndarray            # (S,) int32
+    max_new_tokens: int = 64
+    temperature: float = 0.0
+    top_p: float = 1.0
+    eos_token_id: Optional[int] = None
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Optional[GenRequest] = None
+    generated: list = dataclasses.field(default_factory=list)
+    done: bool = True
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+class ServingEngine:
+    def __init__(self, arch_name: str, cfg, params, batch_slots: int = 8,
+                 max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
+                 prefill_buckets=(32, 128, 512)):
+        self.arch = get_arch(arch_name)
+        self.cfg = cfg
+        self.dtype = dtype
+        self.b = batch_slots
+        self.max_len = max_seq_len or cfg.max_seq_len
+        self.buckets = tuple(b for b in prefill_buckets if b <= self.max_len)
+        stacked = stack_layers(params["layers"])
+        self._sp = {
+            "statics": {k: v for k, v in params.items() if k != "layers"},
+            "stacked": stacked,
+            "layers": None if stacked is not None else params["layers"],
+        }
+        self.num_layers = len(params["layers"])
+        self._decode = jax.jit(self._make_decode())
+        self._prefills = {}
+        self.slots = [_Slot() for _ in range(batch_slots)]
+        self.queue: list[GenRequest] = []
+        self.results: dict[int, np.ndarray] = {}
+        self._key = jax.random.PRNGKey(0)
+
+    # -- jitted model steps --------------------------------------------------
+
+    def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets):
+        arch, cfg = self.arch, self.cfg
+        if sp["stacked"] is not None:
+            def body(xc, layer_in):
+                lp, ck, cv = layer_in
+                y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
+                                              (ck, cv, offsets))
+                return y, (ck2, cv2)
+            x, (k2, v2) = jax.lax.scan(body, x, (sp["stacked"], k_cache, v_cache))
+            return x, k2, v2
+        ks, vs = [], []
+        for li, lp in enumerate(sp["layers"]):
+            x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
+                                        (k_cache[li], v_cache[li], offsets))
+            ks.append(k2)
+            vs.append(v2)
+        return x, jnp.stack(ks), jnp.stack(vs)
+
+    def _make_decode(self):
+        arch, cfg = self.arch, self.cfg
+
+        def step(sp, toks, k_cache, v_cache, offsets, live):
+            """toks (B,1); offsets (B,); live (B,) bool. One token for all slots."""
+            positions = offsets[:, None]
+            mask = decode_mask(1, self.max_len, offsets)
+            x = arch.embed(sp["statics"], cfg, toks, positions).astype(self.dtype)
+            x, k2, v2 = self._layers(sp, x, positions, mask, k_cache, v_cache,
+                                     offsets)
+            logits = arch.head(sp["statics"], cfg, x)[:, -1]
+            new_off = jnp.where(live, offsets + 1, offsets)
+            return logits, k2, v2, new_off
+
+        return step
+
+    def _get_prefill(self, blen: int):
+        if blen in self._prefills:
+            return self._prefills[blen]
+        arch, cfg = self.arch, self.cfg
+
+        def prefill(sp, ids, k_cache, v_cache, slot, true_len):
+            """ids (1, blen) right-padded; writes into cache slot; returns
+            last-real-token logits (1, V)."""
+            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
+            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            offsets = jnp.zeros((1,), jnp.int32)
+            positions = jnp.arange(blen)[None, :]
+            mask = decode_mask(blen, self.max_len, 0)
+            x = arch.embed(sp["statics"], cfg, ids, positions).astype(self.dtype)
+            x, kc2, vc2 = self._layers(sp, x, positions, mask, kc, vc, offsets)
+            logits = arch.head(sp["statics"], cfg, x)
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc2, slot,
+                                                          axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc2, slot,
+                                                          axis=1)
+            return last, k_cache, v_cache
+
+        self._prefills[blen] = jax.jit(prefill)
+        return self._prefills[blen]
+
+    # -- scheduler -----------------------------------------------------------
+
+    def submit(self, req: GenRequest):
+        self.queue.append(req)
+
+    def _admit(self, state):
+        """Fill free slots from the queue (one prefill per free slot)."""
+        k_cache, v_cache, offsets = state["k"], state["v"], state["off"]
+        for i, slot in enumerate(self.slots):
+            if not slot.done or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = np.asarray(req.prompt, np.int32).reshape(-1)
+            blen = _bucket(len(prompt), self.buckets)
+            padded = np.zeros((1, blen), np.int32)
+            padded[0, :len(prompt)] = prompt
+            fn = self._get_prefill(blen)
+            last, k_cache, v_cache = fn(
+                self._sp, jnp.asarray(padded), k_cache, v_cache,
+                jnp.int32(i), jnp.int32(len(prompt)))
+            self._key, sub = jax.random.split(self._key)
+            tok = int(sample_logits(last, sub, req.temperature, req.top_p)[0])
+            slot.req = req
+            slot.generated = [tok]
+            slot.done = False
+            state["host_off"][i] = len(prompt)
+            state["temps"][i] = req.temperature
+            state["tops"][i] = req.top_p
+            state["toks"][i] = tok
+            state["live"][i] = True
+            offsets = offsets.at[i].set(len(prompt))
+        state["k"], state["v"], state["off"] = k_cache, v_cache, offsets
+
+    def run(self, log=None) -> dict[int, np.ndarray]:
+        """Drain the queue; returns {uid: generated token array}."""
+        shape = (self.num_layers, self.b, self.max_len,
+                 self.cfg.num_kv_heads, self.cfg.head_dim)
+        state = {
+            "k": jnp.zeros(shape, self.dtype),
+            "v": jnp.zeros(shape, self.dtype),
+            "off": jnp.zeros((self.b,), jnp.int32),
+            "host_off": np.zeros((self.b,), np.int64),
+            "temps": np.zeros((self.b,), np.float32),
+            "tops": np.ones((self.b,), np.float32),
+            "toks": np.zeros((self.b,), np.int32),
+            "live": np.zeros((self.b,), bool),
+        }
+        steps = 0
+        t0 = time.perf_counter()
+        produced = 0
+
+        while self.queue or any(not s.done for s in self.slots):
+            self._admit(state)
+            live_j = jnp.asarray(state["live"])
+            logits, state["k"], state["v"], state["off"] = self._decode(
+                self._sp, jnp.asarray(state["toks"][:, None]), state["k"],
+                state["v"], state["off"], live_j)
+            state["host_off"][state["live"]] += 1
+            self._key, sub = jax.random.split(self._key)
+            toks_np = np.asarray(sample_logits(
+                logits, sub, jnp.asarray(state["temps"]),
+                jnp.asarray(state["tops"])))  # ONE sample + transfer per step
+            for i, slot in enumerate(self.slots):
+                if slot.done:
+                    continue
+                req = slot.req
+                t = int(toks_np[i])
+                slot.generated.append(t)
+                produced += 1
+                ended = (req.eos_token_id is not None
+                         and t == req.eos_token_id)
+                full = state["host_off"][i] + 1 >= self.max_len
+                if ended or full or len(slot.generated) >= req.max_new_tokens:
+                    self.results[req.uid] = np.asarray(slot.generated, np.int32)
+                    slot.done = True
+                    state["live"][i] = False
+                else:
+                    state["toks"][i] = t
+            steps += 1
+            if log and steps % 32 == 0:
+                dt = time.perf_counter() - t0
+                log(f"  serve: {steps} steps, {produced} tokens, "
+                    f"{produced / dt:.1f} tok/s")
+        return self.results

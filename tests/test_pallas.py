@@ -50,11 +50,10 @@ def test_qmm_matches_xla(bits, m):
 
 def test_qmm_3d_batch_and_bias():
     k, n, gs = 64, 128, 32
+    import dataclasses
     lin = _random_packed(k, n, 4, gs)
-    lin = PackedLinear(lin.qweight, lin.qzeros, lin.scales, lin.zeros,
-                       lin.g_idx, lin.perm,
-                       jnp.asarray(np.linspace(-1, 1, n), jnp.float32),
-                       lin.bits, lin.groupsize, lin.in_features, lin.out_features)
+    lin = dataclasses.replace(
+        lin, bias=jnp.asarray(np.linspace(-1, 1, n), jnp.float32))
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.standard_normal((2, 5, k)).astype(np.float32))
     want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))

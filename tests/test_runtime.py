@@ -116,6 +116,33 @@ def test_benchmark_decode_reports():
     assert np.isfinite(res["ppl"])
 
 
+def test_fused_qkv_matches_unfused(tmp_path):
+    """fuse_attention (make_quant_attn equivalent) must preserve logits."""
+    import hf_tiny
+    from gptq_for_llama_tpu.models import hf_loader
+    from gptq_for_llama_tpu.data import get_loaders
+    from gptq_for_llama_tpu.engine import QuantizeSpec, pack_model, quantize_model
+    from gptq_for_llama_tpu.models.llama import fuse_attention
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path)
+    cfg, params = hf_loader.load_params(d, dtype=jnp.float32, seqlen=32)
+    train, _ = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=16, chunk=4)
+    params, quantizers, _ = quantize_model("llama", cfg, params, train, spec,
+                                           verbose=False)
+    params = pack_model("llama", cfg, params, quantizers, dtype=jnp.float32)
+    arch = registry.get_arch("llama")
+    ids = np.arange(10, dtype=np.int32)[None] % cfg.vocab_size
+    want = np.asarray(arch.forward(params, cfg, jnp.asarray(ids)))
+    params = fuse_attention(params)
+    assert "qkv_proj" in params["layers"][0]["self_attn"]
+    got = np.asarray(arch.forward(params, cfg, jnp.asarray(ids)))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # fused model still stacks for scan decode
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    assert runner.stacked is not None
+
+
 def test_packed_model_runner(tmp_path):
     """Runner over PackedLinear weights (scan-stacked) matches dense fake-quant."""
     import hf_tiny

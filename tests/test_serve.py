@@ -1,0 +1,62 @@
+"""Continuous-batching serving engine tests (tiny model, CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_for_llama_tpu.models import registry
+from gptq_for_llama_tpu.models.config import ModelConfig
+from gptq_for_llama_tpu.runtime import ModelRunner, generate
+from gptq_for_llama_tpu.runtime.serve import GenRequest, ServingEngine
+
+
+def _setup():
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=8, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return cfg, params
+
+
+def test_serving_matches_single_sequence_greedy():
+    cfg, params = _setup()
+    engine = ServingEngine("llama", cfg, params, batch_slots=4,
+                           max_seq_len=32, dtype=jnp.float32,
+                           prefill_buckets=(8, 16))
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([5, 6], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32),
+               np.array([2, 2, 2], np.int32)]  # 5 reqs > 4 slots: backfill
+    for uid, p in enumerate(prompts):
+        engine.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=6,
+                                 temperature=0.0))
+    results = engine.run()
+    assert set(results) == set(range(5))
+
+    # each result must equal the single-sequence greedy continuation
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    for uid, p in enumerate(prompts):
+        want = generate(runner, p, max_new_tokens=6, temperature=0.0)
+        np.testing.assert_array_equal(results[uid], want[0, len(p):],
+                                      err_msg=f"request {uid}")
+
+
+def test_serving_eos_frees_slot():
+    cfg, params = _setup()
+    engine = ServingEngine("llama", cfg, params, batch_slots=2,
+                           max_seq_len=32, dtype=jnp.float32,
+                           prefill_buckets=(8,))
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    p = np.array([1, 2, 3], np.int32)
+    ref = generate(runner, p, max_new_tokens=8, temperature=0.0)[0, len(p):]
+    eos = int(ref[2])  # stop at this token's FIRST occurrence in ref
+    expect_len = int(np.argmax(ref == eos)) + 1
+    engine.submit(GenRequest(uid=0, prompt=p, max_new_tokens=8,
+                             temperature=0.0, eos_token_id=eos))
+    results = engine.run()
+    assert len(results[0]) == expect_len and results[0][-1] == eos
+    np.testing.assert_array_equal(results[0], ref[:expect_len])
