@@ -50,13 +50,14 @@ def random_packed_llama(cfg, dtype, groupsize=128):
         # model — this only accelerates bench setup)
         if (k, n) in shape_cache:
             return shape_cache[(k, n)]
-        g = k // groupsize
-        qweight = rng.randint(-2**31, 2**31, size=(k * 4 // 32, n),
+        kp = -(-k // (8 * groupsize)) * (8 * groupsize)  # kernel K padding
+        g = kp // groupsize
+        qweight = rng.randint(-2**31, 2**31, size=(kp * 4 // 32, n),
                               dtype=np.int32)
         scales = (rng.rand(g, n).astype(np.float32) * 0.004 + 0.001)
         lin = PackedLinear(
             qweight=jnp.asarray(qweight),
-            qzeros=jnp.zeros((g, n * 4 // 32), jnp.int32),
+            qzeros=jnp.zeros((k // groupsize, n * 4 // 32), jnp.int32),
             scales=jnp.asarray(scales, dtype=dtype),
             zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), dtype=dtype),
             g_idx=jnp.asarray((np.arange(k) // groupsize).astype(np.int32)),

@@ -135,12 +135,14 @@ def _make_layer_fns(arch, cfg, group_names: tuple[str, ...]):
     def accum(lp, x, positions, mask, sums):
         _, taps, _ = arch.layer(cfg, lp, x, positions, mask)
         new_sums = {}
+        group_taps = {}
         for name in group_names:
             t = taps[name].astype(jnp.float32)
             t2 = t.reshape(-1, t.shape[-1])
+            group_taps[name] = t2
             new_sums[name] = sums[name] + jnp.einsum(
                 "tc,td->cd", t2, t2, precision=jax.lax.Precision.HIGHEST)
-        return new_sums
+        return new_sums, group_taps
 
     @jax.jit
     def fwd(lp, x, positions, mask):
@@ -215,8 +217,9 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
 
             cols = {n: get_path(lp, n)["kernel"].shape[0] for n in group}
             sums = {n: jnp.zeros((c, c), jnp.float32) for n, c in cols.items()}
+            last_taps = None
             for i in range(0, ns, chunk):
-                sums = accum(lp, x[i:i + chunk], positions, mask, sums)
+                sums, last_taps = accum(lp, x[i:i + chunk], positions, mask, sums)
             ntok_scale = 2.0 / ns  # H = 2/nsamples * sum x x^T (gptq.py:94-99)
 
             for name in group:
@@ -231,8 +234,17 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
                     li, name, rec.error,
                     np.asarray(h) if spec.observe else None))
                 if verbose:
+                    snr_txt = ""
+                    if spec.observe:
+                        # fp/q input SNR probe on the last calibration chunk
+                        # (reference print_loss, gptq.py:101-126)
+                        fp_snr, q_snr = snr_probe(q.T.astype(jnp.float32),
+                                                  kernel.astype(jnp.float32),
+                                                  last_taps[name])
+                        snr_txt = (f" fp_inp_SNR {fp_snr:10.4f} |"
+                                   f" q_inp_SNR {q_snr:10.4f} |")
                     log(f"| layer {li:3d} | {name:28s} | error {rec.error:12.4f} "
-                        f"| {time.time() - t0:6.2f}s |")
+                        f"|{snr_txt} {time.time() - t0:6.2f}s |")
 
         # propagate quantized activations to the next layer (llama.py:122-130)
         _, fwd = fwd_cache[tuple(groups[0])]

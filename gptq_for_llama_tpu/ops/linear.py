@@ -91,7 +91,29 @@ class PackedLinear:
         zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
 
         layout = "wire"
+        kp = k
         if packing.tpu_layout_supported(k, bits, groupsize):
+            # pad K to a multiple of 8*groupsize (static gpt=8 kernel tiling)
+            # when the inflation stays under 12.5%; otherwise keep K and let
+            # the kernel use its full-K tile plan
+            cand = -(-k // (8 * groupsize)) * (8 * groupsize)
+            if (k // groupsize) % 8 != 0 and (cand - k) * 8 <= k:
+                kp = cand
+        if packing.tpu_layout_supported(k, bits, groupsize):
+            # pad K to a multiple of 8*groupsize so kernels always tile at
+            # gpt=8 (static scale-row slices, no giant full-K unrolled loop).
+            # Padded rows carry zero codes and a dummy group (scale 1, zero 0);
+            # the kernel pads x with zeros, so they contribute exactly nothing
+            # (dot-then-scale: both p and sum(x) vanish on the pad).
+            if kp != k:
+                codes = packing.unpack_rows(np.asarray(qweight), bits, k=k)
+                codes = np.pad(codes, ((0, kp - k), (0, 0)))
+                qweight = packing.pack_rows(codes.astype(np.uint32), bits)
+                gp = (kp - k) // groupsize
+                scales = np.concatenate(
+                    [scales, np.ones((gp, n), scales.dtype)], axis=0)
+                zeros = np.concatenate(
+                    [zeros, np.zeros((gp, n), np.float32)], axis=0)
             qweight = packing.to_tpu_layout(np.asarray(qweight), bits, groupsize)
             layout = "tpu"
 
@@ -153,31 +175,45 @@ class PackedLinear:
         with reference QuantLinear buffers (reference:
         quant/quant_linear.py:316-371)."""
         qweight = np.asarray(self.qweight)
+        k = self.in_features
         if self.layout == "tpu":
             qweight = packing.from_tpu_layout(qweight, self.bits, self.groupsize)
+            if self.k_padded != k:  # drop the K padding
+                codes = packing.unpack_rows(qweight, self.bits, k=k)
+                qweight = packing.pack_rows(codes.astype(np.uint32), self.bits)
         if self.perm is not None:
-            codes = packing.unpack_rows(qweight, self.bits, k=self.in_features)
+            codes = packing.unpack_rows(qweight, self.bits, k=k)
             inv = np.argsort(np.asarray(self.perm))
             qweight = packing.pack_rows(codes[inv], self.bits)
+        g = k // self.groupsize if self.groupsize > 0 and k % self.groupsize == 0 \
+            else self.scales.shape[0]
         out = {
             "qweight": qweight,
             "qzeros": np.asarray(self.qzeros),
-            "scales": np.asarray(self.scales, dtype=np.float16),
+            "scales": np.asarray(self.scales, dtype=np.float16)[:g],
             "g_idx": np.asarray(self.g_idx),
         }
         if self.bias is not None:
             out["bias"] = np.asarray(self.bias, dtype=np.float16)
         return out
 
+    @property
+    def k_padded(self) -> int:
+        """Device-layout contraction length (>= in_features when K-padded)."""
+        return self.qweight.shape[0] * 32 // self.bits
+
     def dequantize(self, dtype=jnp.bfloat16):
         """Dense (K_sorted, N) weight in device row order (after perm)."""
+        k, n = self.in_features, self.out_features
         if self.layout == "tpu":
             codes = packing.unpack_rows_tpu_jnp(self.qweight, self.bits,
-                                                self.groupsize)
-        else:
-            codes = packing.unpack_rows_jnp(self.qweight, self.bits,
-                                            k=self.in_features)
-        k, n = self.in_features, self.out_features
+                                                self.groupsize)  # (kp, n)
+            g = self.scales.shape[0]
+            codes3 = codes.reshape(g, self.groupsize, n).astype(jnp.float32)
+            w = (codes3 - self.zeros.astype(jnp.float32)[:, None, :]) \
+                * self.scales.astype(jnp.float32)[:, None, :]
+            return w.reshape(-1, n)[:k].astype(dtype)
+        codes = packing.unpack_rows_jnp(self.qweight, self.bits, k=k)
         g = self.scales.shape[0]
         s = self.scales.astype(jnp.float32)
         zeros = self.zeros.astype(jnp.float32)

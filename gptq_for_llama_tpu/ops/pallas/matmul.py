@@ -114,15 +114,15 @@ def supports(lin: PackedLinear) -> bool:
         return False  # 3-bit three-word packs: XLA fallback (for now)
     if lin.layout != "tpu":
         return False  # kernel unpack assumes the group-interleaved layout
-    k, n = lin.in_features, lin.out_features
+    kp, n = lin.k_padded, lin.out_features
     g = lin.scales.shape[0]
-    if g * lin.groupsize != k:
+    if g * lin.groupsize != kp:
         return False  # ragged last group
     if n % 128 != 0:
         return False
     if lin.groupsize % (32 // lin.bits) != 0:
         return False  # group boundaries must align to packed words
-    return _tile_plan(k, n, lin.groupsize, lin.bits) is not None
+    return _tile_plan(kp, n, lin.groupsize, lin.bits) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
@@ -180,11 +180,12 @@ def quant_matmul_pallas(x, lin: PackedLinear, interpret: bool = False):
         x = jnp.take(x, lin.perm, axis=-1)
     lead = x.shape[:-1]
     k = lin.in_features
+    kp = lin.k_padded
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     mp = max(8, -(-m // 8) * 8)  # pad rows to the fp32 sublane tile
-    if mp != m:
-        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    if mp != m or kp != k:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
     zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32))
     y = _qmm_2d(x2, lin.qweight, lin.scales, zs.astype(lin.scales.dtype),
                 lin.bits, lin.groupsize, out_dtype=x.dtype, interpret=interpret)

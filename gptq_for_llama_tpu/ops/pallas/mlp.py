@@ -121,11 +121,12 @@ def fused_mlp_pallas(x, gate: PackedLinear, up: PackedLinear,
         x = jnp.take(x, gate.perm, axis=-1)  # identical perm asserted upstream
     lead = x.shape[:-1]
     k = gate.in_features
+    kp = gate.k_padded
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     mp = max(8, -(-m // 8) * 8)
-    if mp != m:
-        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    if mp != m or kp != k:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
     f32 = jnp.float32
     zsg = (gate.zeros.astype(f32) * gate.scales.astype(f32)).astype(gate.scales.dtype)
     zsu = (up.zeros.astype(f32) * up.scales.astype(f32)).astype(up.scales.dtype)

@@ -35,12 +35,50 @@ def _use_pallas(lin: PackedLinear) -> bool:
 
 
 def quant_matmul(x, lin: PackedLinear, dtype=jnp.bfloat16):
-    """y = x @ dequant(lin) + bias, for x of any leading shape (..., K)."""
+    """y = x @ dequant(lin) + bias, for x of any leading shape (..., K).
+
+    Differentiable in x (LoRA-style finetuning downstream): the backward is
+    g @ dequant(W)^T — the reference's transpose_matmul_248_kernel path
+    (reference: quant/quant_linear.py:192-301). Packed integer buffers get
+    zero tangents.
+    """
     x = x.astype(dtype)
     if _use_pallas(lin):
-        from .pallas import matmul as pallas_matmul
-        return pallas_matmul.quant_matmul_pallas(x, lin)
+        return _quant_matmul_ad(x, lin)
     return quant_matmul_xla(x, lin, dtype=dtype)
+
+
+@jax.custom_vjp
+def _quant_matmul_ad(x, lin: PackedLinear):
+    from .pallas import matmul as pallas_matmul
+    return pallas_matmul.quant_matmul_pallas(x, lin)
+
+
+def _qmm_fwd(x, lin):
+    return _quant_matmul_ad(x, lin), (lin,)
+
+
+def _qmm_bwd(res, g):
+    import numpy as np
+    (lin,) = res
+    # grad-input: g @ W^T with W dequantized densely (XLA fuses the unpack
+    # into the matmul read; a dedicated transposed Pallas kernel can replace
+    # this if finetuning becomes a hot path)
+    w = lin.dequantize(g.dtype)                       # (K_dev, N) device order
+    dx = jnp.matmul(g, w.T)
+    if lin.perm is not None:
+        dx = jnp.take(dx, jnp.argsort(lin.perm), axis=-1)
+
+    def zero_tan(t):
+        if jnp.issubdtype(t.dtype, jnp.floating):
+            return jnp.zeros_like(t)
+        return np.zeros(t.shape, jax.dtypes.float0)
+
+    dlin = jax.tree_util.tree_map(zero_tan, lin)
+    return dx, dlin
+
+
+_quant_matmul_ad.defvjp(_qmm_fwd, _qmm_bwd)
 
 
 def fused_gate_up(gate, up, x, act: str):

@@ -1,0 +1,68 @@
+"""Gradient flow through quantized matmuls (reference QuantLinearFunction,
+quant/quant_linear.py:282-301: fp fwd kernel, transpose kernel for grad-input).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_for_llama_tpu.ops import quant_matmul as qm
+from gptq_for_llama_tpu.ops.linear import quant_matmul_xla
+
+
+def _lin(k=64, n=128, bits=4, gs=32, seed=0):
+    from gptq_for_llama_tpu.quant import packing
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+    rng = np.random.RandomState(seed)
+    g = k // gs
+    codes = rng.randint(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    zeros = rng.randint(1, 2 ** bits, size=(g, n)).astype(np.uint32)
+    scales = (rng.rand(g, n) * 0.02 + 0.005).astype(np.float32)
+    return PackedLinear.from_wire(
+        packing.pack_rows(codes, bits), packing.pack_cols(zeros - 1, bits),
+        scales, (np.arange(k) // gs).astype(np.int32), bits=bits,
+        dtype=jnp.float32)
+
+
+def test_grad_matches_dense_xla_path():
+    lin = _lin()
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = np.asarray(lin.dequantize(jnp.float32))
+    if lin.perm is not None:
+        raise AssertionError("monotone g_idx should not produce a perm")
+
+    def loss(x):
+        return jnp.sum(quant_matmul_xla(x, lin, dtype=jnp.float32) ** 2)
+
+    gx = jax.grad(loss)(x)
+    want = 2.0 * (np.asarray(x) @ w) @ w.T
+    np.testing.assert_allclose(np.asarray(gx), want, atol=1e-3, rtol=1e-4)
+
+
+def test_grad_through_pallas_dispatch(monkeypatch):
+    """custom-vjp path: force the pallas branch (interpret via CPU backend is
+    exercised by the dispatch's interpret fallback in tests)."""
+    monkeypatch.setenv("GPTQ_TPU_QMM_IMPL", "pallas")
+    lin = _lin()
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = np.asarray(lin.dequantize(jnp.float32))
+
+    def loss(x):
+        from gptq_for_llama_tpu.ops.pallas import matmul as pmm
+        y = qm._quant_matmul_ad(x, lin) if pmm.supports(lin) else None
+        assert y is not None
+        return jnp.sum(y ** 2)
+
+    # run the custom-vjp backward; forward uses interpret mode off-TPU
+    import gptq_for_llama_tpu.ops.pallas.matmul as pmm
+    orig = pmm.quant_matmul_pallas
+    monkeypatch.setattr(pmm, "quant_matmul_pallas",
+                        lambda x, l, interpret=False: orig(x, l, interpret=True))
+    gx = jax.grad(loss)(x)
+    want = 2.0 * (np.asarray(x) @ w) @ w.T
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(np.asarray(gx), want, atol=tol, rtol=0)

@@ -62,6 +62,24 @@ def test_qmm_3d_batch_and_bias():
     np.testing.assert_allclose(got, want, atol=2e-2, rtol=2e-2)
 
 
+def test_qmm_padded_k():
+    """K with G % 8 != 0 but small pad: kernel pads K to 8*gs internally."""
+    k, n, gs = 2176, 128, 32   # G=68 -> kp=2304 (+6%)
+    lin = _random_packed(k, n, 4, gs, seed=7)
+    assert lin.layout == "tpu" and lin.k_padded == 2304
+    assert pmm.supports(lin)
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.standard_normal((3, k)).astype(np.float32) * 0.1)
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+    # wire round-trip drops the pad
+    wire = lin.to_wire()
+    assert wire["qweight"].shape == (k * 4 // 32, n)
+    assert wire["scales"].shape == (k // gs, n)
+
+
 def test_qmm_actorder_perm():
     k, n, gs = 64, 128, 16
     lin = _random_packed(k, n, 4, gs, actorder=True)
