@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="packed checkpoint directory to load")
     p.add_argument("--quant-directory", type=str, default=None,
                    help="export toml+npy quant table here")
+    p.add_argument("--resume-dir", type=str, default=None,
+                   help="mid-quantization checkpoint dir (resume on re-run)")
     p.add_argument("--seqlen", type=int, default=None)
     # runtime
     p.add_argument("--benchmark", type=int, default=0,
@@ -101,7 +103,8 @@ def main(argv=None):
                                seed=args.seed, seqlen=seqlen,
                                model=args.model if args.dataset != "synthetic" else cfg)
         tq = time.time()
-        params, quantizers, _ = quantize_model(cfg.arch, cfg, params, train, spec)
+        params, quantizers, _ = quantize_model(cfg.arch, cfg, params, train,
+                                               spec, resume_dir=args.resume_dir)
         print(f"quantized in {time.time() - tq:.1f}s")
 
     if args.quant_directory and quantizers:

@@ -172,13 +172,18 @@ def _quantize_one(w_t, h, spec: QuantizeSpec, wbits: int, groupsize: int):
 
 
 def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpec,
-                   verbose: bool = True, log=print):
+                   verbose: bool = True, log=print, resume_dir: str = None):
     """Quantize all decoder layers in place-functionally.
 
     params: model pytree with DENSE fp weights (kernels (in, out)).
     train_windows: (nsamples, seqlen) int32 calibration windows.
     Returns (params with fake-quantized kernels, {dotted_name: QuantRecord},
     Observer). Equivalent to the reference *_sequential (llama.py:27-170).
+
+    resume_dir: optional directory for mid-run checkpointing. After each layer
+    the fake-quantized kernels + QuantRecords are written there; a re-run with
+    the same directory skips completed layers (the reference has NO mid-
+    quantization resume — a 65B run that dies must restart, SURVEY.md §5).
     """
     arch = get_arch(arch_name)
     t_start = time.time()
@@ -205,6 +210,21 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
 
     for li, lp in enumerate(params["layers"]):
         names_present = layer_linears(arch, lp)
+
+        if resume_dir is not None and _load_layer_ckpt(resume_dir, li, lp,
+                                                       quantizers):
+            # completed in a previous run: restore and propagate activations
+            if verbose:
+                log(f"| layer {li:3d} | resumed from checkpoint |")
+            key0 = tuple([n for n in
+                          arch.sequential_groups(spec.true_sequential)[0]
+                          if n in names_present])
+            if key0 not in fwd_cache:
+                fwd_cache[key0] = _make_layer_fns(arch, cfg, key0)
+            _, fwd = fwd_cache[key0]
+            x = jnp.concatenate([fwd(lp, x[i:i + chunk], positions, mask)
+                                 for i in range(0, ns, chunk)], axis=0)
+            continue
         groups = [[n for n in g if n in names_present]
                   for g in arch.sequential_groups(spec.true_sequential)]
         groups = [g for g in groups if g]
@@ -245,6 +265,9 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
                                    f" q_inp_SNR {q_snr:10.4f} |")
                     log(f"| layer {li:3d} | {name:28s} | error {rec.error:12.4f} "
                         f"|{snr_txt} {time.time() - t0:6.2f}s |")
+
+        if resume_dir is not None:
+            _save_layer_ckpt(resume_dir, li, lp, names_present, quantizers)
 
         # propagate quantized activations to the next layer (llama.py:122-130)
         _, fwd = fwd_cache[tuple(groups[0])]
@@ -289,6 +312,50 @@ def _auto_upgrade(arch, params, quantizers, observer: Observer, spec: QuantizeSp
                 get_path(lp, entry.name)["kernel"] = q.T.astype(kernel.dtype)
                 quantizers[dotted] = rec
                 break
+
+
+# ---------------------------------------------------------------------------
+# mid-quantization checkpointing (no reference equivalent; SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+def _ckpt_path(resume_dir: str, li: int) -> str:
+    import os
+    return os.path.join(resume_dir, f"layer_{li:04d}.npz")
+
+
+def _save_layer_ckpt(resume_dir: str, li: int, lp, names, quantizers):
+    import os
+    os.makedirs(resume_dir, exist_ok=True)
+    payload = {}
+    for name in names:
+        rec = quantizers[f"layers.{li}.{name}"]
+        payload[f"{name}/kernel"] = np.asarray(get_path(lp, name)["kernel"])
+        payload[f"{name}/scale"] = rec.scale
+        payload[f"{name}/zero"] = rec.zero
+        payload[f"{name}/g_idx"] = rec.g_idx
+        payload[f"{name}/meta"] = np.asarray(
+            [rec.wbits, rec.groupsize, rec.error], np.float64)
+    tmp = _ckpt_path(resume_dir, li) + ".tmp.npz"  # .npz suffix: savez keeps it
+    np.savez(tmp, **payload)
+    os.replace(tmp, _ckpt_path(resume_dir, li))
+
+
+def _load_layer_ckpt(resume_dir: str, li: int, lp, quantizers) -> bool:
+    import os
+    path = _ckpt_path(resume_dir, li)
+    if not os.path.exists(path):
+        return False
+    data = np.load(path)
+    names = sorted({k.split("/")[0] for k in data.files})
+    for name in names:
+        kernel = get_path(lp, name)["kernel"]
+        get_path(lp, name)["kernel"] = jnp.asarray(
+            data[f"{name}/kernel"], dtype=kernel.dtype)
+        meta = data[f"{name}/meta"]
+        quantizers[f"layers.{li}.{name}"] = QuantRecord(
+            data[f"{name}/scale"], data[f"{name}/zero"], data[f"{name}/g_idx"],
+            int(meta[0]), int(meta[1]), float(meta[2]))
+    return True
 
 
 # ---------------------------------------------------------------------------

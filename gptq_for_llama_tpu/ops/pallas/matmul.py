@@ -41,13 +41,24 @@ from jax.experimental.pallas import tpu as pltpu
 from ..linear import PackedLinear
 
 
-def _unpack_rows(w, bits: int, rows: int):
-    """(words, bn) int32 -> (rows, bn) int32 codes — TPU layout.
+def _unpack_rows(w, bits: int, groupsize: int):
+    """One group's packed words (gs*bits/32, bn) -> (gs, bn) int32 codes.
 
-    The group-local nibble interleave (quant/packing.py to_tpu_layout) makes
-    nibble j of all words = one contiguous row block, so unpack is shift/mask +
-    CONCAT — no cross-sublane interleave (measured ~6x faster on v5e than the
-    stack+reshape the wire layout needs)."""
+    TPU layout (quant/packing.py to_tpu_layout): field j of all words = one
+    contiguous row block, so unpack is shift/mask + CONCAT — no cross-sublane
+    interleave (measured ~6x faster on v5e than the stack+reshape the wire
+    layout needs). 3-bit uses the bit-plane split: a 2-bit plane and a 1-bit
+    plane, combined with one shift+or."""
+    if bits == 3:
+        wlo = groupsize // 16
+        lo_w, hi_w = w[:wlo], w[wlo:]
+        lo = jnp.concatenate(
+            [(jax.lax.shift_right_logical(lo_w, 2 * j) & 3) for j in range(16)],
+            axis=0)
+        hi = jnp.concatenate(
+            [(jax.lax.shift_right_logical(hi_w, j) & 1) for j in range(32)],
+            axis=0)
+        return lo | (hi << 2)
     ipw = 32 // bits
     maxq = (1 << bits) - 1
     vals = [(jax.lax.shift_right_logical(w, bits * j) & maxq) for j in range(ipw)]
@@ -64,8 +75,7 @@ def _qmm_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits: int,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     gs, gpt = groupsize, groups_per_tile
-    ipw = 32 // bits
-    wpg = gs // ipw  # packed words per group
+    wpg = gs * bits // 32  # packed rows per group
     xb = x_ref[:].astype(jnp.bfloat16)
     acc = acc_ref[:]
     for g in range(gpt):
@@ -110,8 +120,8 @@ def _tile_plan(k: int, n: int, groupsize: int, bits: int):
 
 def supports(lin: PackedLinear) -> bool:
     """Shapes/bits this kernel handles; others take the XLA fallback path."""
-    if lin.bits not in (2, 4, 8):
-        return False  # 3-bit three-word packs: XLA fallback (for now)
+    if lin.bits not in (2, 3, 4, 8):
+        return False
     if lin.layout != "tpu":
         return False  # kernel unpack assumes the group-interleaved layout
     kp, n = lin.k_padded, lin.out_features
@@ -120,7 +130,8 @@ def supports(lin: PackedLinear) -> bool:
         return False  # ragged last group
     if n % 128 != 0:
         return False
-    if lin.groupsize % (32 // lin.bits) != 0:
+    align = 32 if lin.bits == 3 else 32 // lin.bits
+    if lin.groupsize % align != 0:
         return False  # group boundaries must align to packed words
     return _tile_plan(kp, n, lin.groupsize, lin.bits) is not None
 
@@ -135,7 +146,6 @@ def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
     """
     m, k = x.shape
     n = qweight.shape[1]
-    ipw = 32 // bits
     g = k // groupsize
 
     plan = _tile_plan(k, n, groupsize, bits)
@@ -155,7 +165,7 @@ def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bk // ipw, bn), lambda i, j, kk: (kk, j),
+            pl.BlockSpec((bk * bits // 32, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((gpt, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),

@@ -35,8 +35,7 @@ def _fused_kernel(x_ref, qg_ref, sg_ref, zg_ref, qu_ref, su_ref, zu_ref,
         accu_ref[:] = jnp.zeros_like(accu_ref)
 
     gs, gpt = groupsize, groups_per_tile
-    ipw = 32 // bits
-    wpg = gs // ipw
+    wpg = gs * bits // 32  # packed rows per group
     xb = x_ref[:].astype(jnp.bfloat16)
     accg = accg_ref[:]
     accu = accu_ref[:]
@@ -66,7 +65,6 @@ def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
               out_dtype=jnp.bfloat16, interpret: bool = False):
     m, k = x.shape
     n = qg.shape[1]
-    ipw = 32 // bits
     bk, gpt = _tile_plan(k, n, groupsize, bits)
     bm = _pick_block(m, 256, 8)
     bn = _pick_block(n, 256, 128)
@@ -74,7 +72,7 @@ def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
     kernel = functools.partial(_fused_kernel, bits=bits, groupsize=groupsize,
                                groups_per_tile=gpt, out_dtype=out_dtype)
 
-    w_spec = pl.BlockSpec((bk // ipw, bn), lambda i, j, kk: (kk, j),
+    w_spec = pl.BlockSpec((bk * bits // 32, bn), lambda i, j, kk: (kk, j),
                           memory_space=pltpu.VMEM)
     g_spec = pl.BlockSpec((gpt, bn), lambda i, j, kk: (kk, j),
                           memory_space=pltpu.VMEM)

@@ -28,7 +28,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-SUPPORTED_BITS = (2, 3, 4, 8)
+SUPPORTED_BITS = (1, 2, 3, 4, 8)  # 1-bit is internal (3-bit plane split)
 
 
 def _check_bits(bits: int) -> None:
@@ -175,14 +175,55 @@ def _tpu_perm(groupsize: int, bits: int) -> np.ndarray:
 
 
 def tpu_layout_supported(k: int, bits: int, groupsize: int) -> bool:
-    return (bits in (2, 4, 8) and groupsize % (32 // bits) == 0
-            and groupsize > 0 and k % groupsize == 0)
+    if groupsize <= 0 or k % groupsize != 0:
+        return False
+    if bits == 3:
+        # bit-plane split (2-bit + 1-bit planes) needs whole words per group
+        return groupsize % 32 == 0
+    return bits in (2, 4, 8) and groupsize % (32 // bits) == 0
+
+
+def _codes_to_tpu3(codes: np.ndarray, groupsize: int) -> np.ndarray:
+    """3-bit codes (K, N) -> bit-plane TPU layout (K*3/32, N).
+
+    Per group: [2-bit plane, gs/16 words (interleaved ipw=16)] then
+    [1-bit plane, gs/32 words (interleaved ipw=32)] — in-kernel unpack is two
+    shift/mask+concat passes plus one combine (code = lo | hi << 2)."""
+    k, n = codes.shape
+    g = k // groupsize
+    lo = (codes & 3).astype(np.uint32).reshape(g, groupsize, n)
+    hi = (codes >> 2).astype(np.uint32).reshape(g, groupsize, n)
+    p2, p1 = _tpu_perm(groupsize, 2), _tpu_perm(groupsize, 1)
+    parts = []
+    for gi in range(g):
+        parts.append(pack_rows(lo[gi][p2], 2))
+        parts.append(pack_rows(hi[gi][p1], 1))
+    return np.concatenate(parts, axis=0)
+
+
+def _codes_from_tpu3(packed: np.ndarray, groupsize: int) -> np.ndarray:
+    """Inverse of _codes_to_tpu3 -> 3-bit codes (K, N)."""
+    spg = 3 * groupsize // 32  # rows per group (lo gs/16 + hi gs/32)
+    wlo = groupsize // 16
+    g = packed.shape[0] // spg
+    n = packed.shape[1]
+    inv2 = np.argsort(_tpu_perm(groupsize, 2))
+    inv1 = np.argsort(_tpu_perm(groupsize, 1))
+    out = np.empty((g, groupsize, n), dtype=np.int32)
+    for gi in range(g):
+        blk = packed[gi * spg:(gi + 1) * spg]
+        lo = unpack_rows(blk[:wlo], 2)[inv2]
+        hi = unpack_rows(blk[wlo:], 1)[inv1]
+        out[gi] = lo | (hi << 2)
+    return out.reshape(g * groupsize, n)
 
 
 def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
     """Wire-packed (K*bits/32, N) -> TPU-layout packed, same shape."""
     k = qweight.shape[0] * 32 // bits
     codes = unpack_rows(qweight, bits, k=k)
+    if bits == 3:
+        return _codes_to_tpu3(codes, groupsize)
     perm = _tpu_perm(groupsize, bits)
     g = k // groupsize
     codes = codes.reshape(g, groupsize, -1)[:, perm, :].reshape(k, -1)
@@ -191,6 +232,8 @@ def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
 
 def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
     """TPU-layout packed -> wire-packed (inverse of to_tpu_layout)."""
+    if bits == 3:
+        return pack_rows(_codes_from_tpu3(qweight, groupsize).astype(np.uint32), 3)
     k = qweight.shape[0] * 32 // bits
     codes = unpack_rows(qweight, bits, k=k)
     perm = _tpu_perm(groupsize, bits)
@@ -202,10 +245,20 @@ def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarra
 
 def unpack_rows_tpu_jnp(packed, bits: int, groupsize: int):
     """jnp unpack of the TPU layout -> (K, N) codes in original row order."""
+    kw, n = packed.shape
+    if bits == 3:
+        spg = 3 * groupsize // 32
+        wlo = groupsize // 16
+        g = kw // spg
+        blk = packed.astype(jnp.uint32).reshape(g, spg, n)
+        lo_w, hi_w = blk[:, :wlo], blk[:, wlo:]
+        lo = jnp.concatenate([(lo_w >> (2 * j)) & 3 for j in range(16)], axis=1)
+        hi = jnp.concatenate([(hi_w >> j) & 1 for j in range(32)], axis=1)
+        out = lo | (hi << 2)
+        return out.reshape(g * groupsize, n).astype(jnp.int32)
     ipw = 32 // bits
     maxq = (1 << bits) - 1
     wpg = groupsize // ipw
-    kw, n = packed.shape
     g = kw // wpg
     w = packed.astype(jnp.uint32).reshape(g, wpg, n)
     vals = [(w >> (bits * j)) & maxq for j in range(ipw)]  # each (g, wpg, n)

@@ -8,6 +8,7 @@ fake-quantized forward exactly, and (c) round-trip through save/load.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -155,6 +156,32 @@ def test_opt_and_neox_quantize(tmp_path):
         logits_packed = arch.forward(params, cfg, ids)
         np.testing.assert_allclose(np.asarray(logits_packed),
                                    np.asarray(logits_fake), atol=5e-3, rtol=0)
+
+
+def test_quantize_resume(tmp_path):
+    """Interrupted quantization resumes from the per-layer checkpoint dir and
+    produces identical results (no reference equivalent, SURVEY.md §5)."""
+    cfg, params = _tiny_llama(tmp_path / "m")
+    params2 = jax.tree_util.tree_map(lambda x: x, params)
+    train, _ = _data(cfg, nsamples=4)
+    spec = QuantizeSpec(wbits=4, groupsize=16, chunk=4)
+    rdir = str(tmp_path / "resume")
+
+    p_full, q_full, _ = quantize_model("llama", cfg, params, train, spec,
+                                       verbose=False, resume_dir=rdir)
+    # simulate a crash after layer 0: delete layer 1's checkpoint, re-run
+    import os
+    os.remove(os.path.join(rdir, "layer_0001.npz"))
+    p_res, q_res, _ = quantize_model("llama", cfg, params2, train, spec,
+                                     verbose=False, resume_dir=rdir)
+    for key in q_full:
+        np.testing.assert_array_equal(q_res[key].g_idx, q_full[key].g_idx)
+        np.testing.assert_allclose(q_res[key].scale, q_full[key].scale,
+                                   rtol=1e-6)
+    k_full = p_full["layers"][1]["mlp"]["down_proj"]["kernel"]
+    k_res = p_res["layers"][1]["mlp"]["down_proj"]["kernel"]
+    np.testing.assert_allclose(np.asarray(k_res), np.asarray(k_full),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_export_quant_table(tmp_path):

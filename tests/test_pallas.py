@@ -122,15 +122,31 @@ def test_rms_norm_matches_jnp():
 def test_supports_gates():
     lin = _random_packed(128, 128, 4, 32)
     assert pmm.supports(lin)
-    lin3 = _random_packed(96, 128, 3, 32) if False else None
-    # 3-bit goes to XLA fallback
+    # 3-bit with groups not word-aligned (gs % 32 != 0) -> XLA fallback
     rng = np.random.RandomState(0)
     codes = rng.randint(0, 8, size=(96, 128)).astype(np.uint32)
     qweight = packing.pack_rows(codes, 3)
-    zeros = np.ones((3, 128), np.uint32)
+    zeros = np.ones((6, 128), np.uint32)
     qzeros = packing.pack_cols(zeros, 3)
-    scales = np.ones((3, 128), np.float32)
-    g_idx = (np.arange(96) // 32).astype(np.int32)
+    scales = np.ones((6, 128), np.float32)
+    g_idx = (np.arange(96) // 16).astype(np.int32)
     lin3 = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=3,
                                   dtype=jnp.float32)
-    assert not pmm.supports(lin3)
+    assert lin3.layout == "wire" and not pmm.supports(lin3)
+
+
+@pytest.mark.parametrize("m", [1, 8])
+def test_qmm_3bit_kernel(m):
+    """3-bit bit-plane TPU layout: kernel matches the XLA dequant oracle."""
+    k, n, gs = 128, 128, 32
+    lin = _random_packed(k, n, 3, gs, seed=33)
+    assert lin.layout == "tpu" and pmm.supports(lin)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+    # wire round-trip preserves the original 3-bit buffers
+    wire = lin.to_wire()
+    assert wire["qweight"].shape == (k * 3 // 32, n)
