@@ -123,15 +123,14 @@ def probe_hbm_bw():
         return jax.lax.fori_loop(0, 10, body, c)
 
     _ = np.asarray(rloop(jnp.float32(0)))
-    t0 = time.perf_counter()
-    _ = np.asarray(rloop(jnp.float32(0)))
-    dt = (time.perf_counter() - t0) / 10
+    best = np.inf
+    for _ in range(3):  # best-of-3: the roofline is the best case
+        t0 = time.perf_counter()
+        _ = np.asarray(rloop(jnp.float32(0)))
+        best = min(best, (time.perf_counter() - t0) / 10)
+    nbytes = big.nbytes
     del big
-    return big_nbytes_gbps(dt)
-
-
-def big_nbytes_gbps(dt, nbytes=512 * 1024 * 1024 * 2):
-    return nbytes / dt / 1e9
+    return nbytes / best / 1e9
 
 
 def main():

@@ -112,13 +112,29 @@ def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
-def sdpa(q, k, v, mask=None, scale: float | None = None):
+def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None):
     """Scaled dot-product attention with fp32 softmax.
 
     q: (B, Sq, H, D); k, v: (B, Skv, Hkv, D) with H a multiple of Hkv (GQA).
     mask: additive (Sq, Skv) or (B, 1, Sq, Skv). Returns (B, Sq, H, D).
+
+    decode_offset: when given and Sq == 1, k/v are a static cache whose valid
+    slots are <= offset — dispatches to the fused Pallas decode-attention
+    kernel on TPU (mask is then ignored; it encodes the same predicate).
     """
     b, sq, h, d = q.shape
+    if decode_offset is not None and sq == 1:
+        import os
+        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
+        use = forced == "pallas" or (forced != "xla"
+                                     and jax.default_backend() == "tpu")
+        from ..ops.pallas.attention import (decode_attention,
+                                            supports_decode_attention)
+        if use and supports_decode_attention(sq, h, k.shape[2], d):
+            sc = scale if scale is not None else 1.0 / (d ** 0.5)
+            return decode_attention(q, k, v, decode_offset, sc,
+                                    interpret=forced == "pallas"
+                                    and jax.default_backend() != "tpu")
     hkv = k.shape[2]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     if h != hkv:

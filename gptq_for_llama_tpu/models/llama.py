@@ -79,14 +79,21 @@ def embed(params, cfg: ModelConfig, input_ids, positions=None):
     return jnp.take(params["embed_tokens"], input_ids, axis=0)
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
+def step_rope(cfg: ModelConfig, positions, dtype):
+    """Per-step RoPE tables, computed once and shared by every layer
+    (inside lax.scan the per-layer recompute cannot be hoisted by XLA)."""
+    return rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype=dtype)
+
+
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     """One decoder layer. x: (B, S, H). Returns (y, taps, present_kv).
 
     past_kv: None (plain causal forward) or (cache_k, cache_v, offset) — a
     static-size KV cache written at offset (decode path); present_kv is then the
-    updated (cache_k, cache_v). taps maps each linear's dotted name to the
-    activation feeding it — the functional replacement for the reference's
-    forward hooks (llama.py:98-107).
+    updated (cache_k, cache_v). rope: optional precomputed (cos, sin) from
+    step_rope. taps maps each linear's dotted name to the activation feeding
+    it — the functional replacement for the reference's forward hooks
+    (llama.py:98-107).
     """
     h_attn_in = rms_norm(x, lp["input_layernorm"], cfg.norm_eps)
     att = lp["self_attn"]
@@ -103,14 +110,17 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
+    cos, sin = rope if rope is not None else rope_cos_sin(
+        positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin)
     present = (k, v)
+    decode_offset = None
     if past_kv is not None:
         cache_k, cache_v, offset = past_kv
         k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
         present = (k, v)
-    attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
+        decode_offset = offset
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
     o = linear_apply(att["o_proj"], attn_out)
     x = x + o
 

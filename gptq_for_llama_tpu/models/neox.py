@@ -63,7 +63,13 @@ def embed(params, cfg: ModelConfig, input_ids, positions=None):
     return jnp.take(params["embed_in"], input_ids, axis=0)
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
+def step_rope(cfg: ModelConfig, positions, dtype):
+    """Per-step RoPE tables shared by every layer (partial rotary)."""
+    rotary_dim = int(cfg.head_dim * cfg.rotary_pct)
+    return rope_cos_sin(positions, rotary_dim, cfg.rope_theta, dtype=dtype)
+
+
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     b, s, _ = x.shape
     hd = cfg.head_dim
     ln1 = layer_norm(x, lp["input_layernorm"]["w"], lp["input_layernorm"]["b"], cfg.norm_eps)
@@ -72,14 +78,17 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     qkv = qkv.reshape(b, s, cfg.num_heads, 3 * hd)
     q, k, v = qkv[..., :hd], qkv[..., hd:2 * hd], qkv[..., 2 * hd:]
     rotary_dim = int(hd * cfg.rotary_pct)
-    cos, sin = rope_cos_sin(positions, rotary_dim, cfg.rope_theta, dtype=x.dtype)
+    cos, sin = rope if rope is not None else rope_cos_sin(
+        positions, rotary_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin, rotary_dim=rotary_dim)
     present = (k, v)
+    decode_offset = None
     if past_kv is not None:
         cache_k, cache_v, offset = past_kv
         k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
         present = (k, v)
-    attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
+        decode_offset = offset
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
     attn_out_proj = linear_apply(lp["attention"]["dense"], attn_out)
 
     if cfg.parallel_residual:

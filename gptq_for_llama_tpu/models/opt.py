@@ -76,7 +76,11 @@ def embed(params, cfg: ModelConfig, input_ids, positions=None):
     return x + pos
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
+def step_rope(cfg: ModelConfig, positions, dtype):
+    return None  # OPT uses learned position embeddings (no rotary)
+
+
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     b, s, _ = x.shape
     residual = x
     h = layer_norm(x, lp["self_attn_layer_norm"]["w"], lp["self_attn_layer_norm"]["b"],
@@ -86,11 +90,13 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None):
     k = linear_apply(att["k_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = linear_apply(att["v_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     present = (k, v)
+    decode_offset = None
     if past_kv is not None:
         cache_k, cache_v, offset = past_kv
         k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
         present = (k, v)
-    attn_out = sdpa(q, k, v, mask).reshape(b, s, -1)
+        decode_offset = offset
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
     o = linear_apply(att["out_proj"], attn_out)
     x = residual + o
     if not cfg.do_layer_norm_before:

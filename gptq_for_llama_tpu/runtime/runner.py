@@ -87,14 +87,14 @@ class ModelRunner:
 
     # -- model step ---------------------------------------------------------
 
-    def _scan_layers(self, sp, x, positions, mask, cache: KVCache):
+    def _scan_layers(self, sp, x, positions, mask, cache: KVCache, rope):
         arch, cfg = self.arch, self.cfg
         if sp["stacked"] is not None:
             def body(carry, layer_in):
                 xc = carry
                 lp, ck, cv = layer_in
                 y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
-                                              (ck, cv, cache.offset))
+                                              (ck, cv, cache.offset), rope=rope)
                 return y, (ck2, cv2)
 
             x, (k_new, v_new) = jax.lax.scan(
@@ -104,7 +104,8 @@ class ModelRunner:
         ks, vs = [], []
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
-                                        (cache.k[li], cache.v[li], cache.offset))
+                                        (cache.k[li], cache.v[li], cache.offset),
+                                        rope=rope)
             ks.append(k2)
             vs.append(v2)
         return x, KVCache(jnp.stack(ks), jnp.stack(vs), cache.offset)
@@ -116,8 +117,9 @@ class ModelRunner:
             statics = sp["statics"]
             positions = cache.offset + jnp.arange(s)[None, :]
             mask = decode_mask(s, self.max_len, cache.offset)
+            rope = arch.step_rope(cfg, positions, self.dtype)
             x = arch.embed(statics, cfg, ids, positions).astype(self.dtype)
-            x, cache = self._scan_layers(sp, x, positions, mask, cache)
+            x, cache = self._scan_layers(sp, x, positions, mask, cache, rope)
             logits = arch.head(statics, cfg, x)
             cache = KVCache(cache.k, cache.v, cache.offset + s)
             return logits, cache

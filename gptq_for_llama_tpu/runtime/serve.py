@@ -83,18 +83,20 @@ class ServingEngine:
 
     def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets):
         arch, cfg = self.arch, self.cfg
+        rope = arch.step_rope(cfg, positions, self.dtype)
         if sp["stacked"] is not None:
             def body(xc, layer_in):
                 lp, ck, cv = layer_in
                 y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
-                                              (ck, cv, offsets))
+                                              (ck, cv, offsets), rope=rope)
                 return y, (ck2, cv2)
             x, (k2, v2) = jax.lax.scan(body, x, (sp["stacked"], k_cache, v_cache))
             return x, k2, v2
         ks, vs = [], []
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
-                                        (k_cache[li], v_cache[li], offsets))
+                                        (k_cache[li], v_cache[li], offsets),
+                                        rope=rope)
             ks.append(k2)
             vs.append(v2)
         return x, jnp.stack(ks), jnp.stack(vs)

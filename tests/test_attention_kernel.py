@@ -1,0 +1,36 @@
+"""Fused decode-attention kernel vs the XLA softmax oracle (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gptq_for_llama_tpu.models.common import decode_mask, sdpa
+from gptq_for_llama_tpu.ops.pallas.attention import (decode_attention,
+                                                     supports_decode_attention)
+
+
+@pytest.mark.parametrize("b,offset", [(1, 5), (4, None)])
+def test_decode_attention_matches_sdpa(b, offset):
+    s, h, d = 32, 8, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    if offset is None:  # per-row offsets (continuous batching)
+        off = jnp.asarray(rng.randint(0, s - 1, size=(b,)), jnp.int32)
+    else:
+        off = jnp.int32(offset)
+
+    got = np.asarray(decode_attention(q, k, v, off, 1.0 / d ** 0.5,
+                                      interpret=True))
+    mask = decode_mask(1, s, off)
+    want = np.asarray(sdpa(q, k, v, mask))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_supports_gates():
+    assert supports_decode_attention(1, 32, 32, 128)
+    assert not supports_decode_attention(2, 32, 32, 128)   # prefill
+    assert not supports_decode_attention(1, 32, 8, 128)    # GQA (XLA path)
+    assert not supports_decode_attention(1, 32, 32, 64)    # head_dim < 128
