@@ -1,0 +1,125 @@
+"""Coverage for the less-traveled configurations: GQA, heterogeneous
+(--observe) checkpoints, ternary (trits) eval, per-tensor bits inference,
+and the CLI end-to-end."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gptq_for_llama_tpu.data import get_loaders
+from gptq_for_llama_tpu.engine import (QuantizeSpec, pack_model, perplexity,
+                                       quantize_model, save_packed)
+from gptq_for_llama_tpu.models import hf_loader, registry
+from gptq_for_llama_tpu.models.config import ModelConfig
+from gptq_for_llama_tpu.runtime import ModelRunner
+
+import hf_tiny
+
+
+def test_gqa_llama_forward_and_decode(tmp_path):
+    """num_kv_heads < num_heads (llama2-70B style) through HF parity + cache."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    cfg_hf = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, max_position_embeddings=64,
+                         tie_word_embeddings=False)
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(cfg_hf).eval().float()
+    model.save_pretrained(str(tmp_path), safe_serialization=True)
+
+    cfg, params = hf_loader.load_params(str(tmp_path), dtype=jnp.float32,
+                                        seqlen=32)
+    assert cfg.num_kv_heads == 2
+    arch = registry.get_arch("llama")
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    ours = np.asarray(arch.forward(params, cfg, jnp.asarray(ids)))
+    with torch.no_grad():
+        theirs = model(torch.tensor(ids)).logits.numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+    # cached decode parity with GQA cache (kv heads = 2)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    cache = runner.init_cache()
+    assert cache.k.shape[3] == 2
+    lp_, cache = runner.prefill(jnp.asarray(ids[:, :8]), cache)
+    np.testing.assert_allclose(np.asarray(lp_), ours[:, :8], atol=2e-4,
+                               rtol=1e-3)
+
+
+def test_heterogeneous_checkpoint_roundtrip(tmp_path):
+    """--observe produces mixed wbits; save/load must infer bits per tensor."""
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path / "m")
+    cfg, params = hf_loader.load_params(d, dtype=jnp.float32, seqlen=32)
+    params8 = jax.tree_util.tree_map(lambda x: x, params)
+    train, _ = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=16, chunk=4)
+    params, quantizers, _ = quantize_model("llama", cfg, params, train, spec,
+                                           verbose=False)
+    # splice an 8-bit layer 0 (what a real --observe upgrade produces)
+    spec8 = QuantizeSpec(wbits=8, groupsize=16, chunk=4)
+    params8, quantizers8, _ = quantize_model("llama", cfg, params8, train,
+                                             spec8, verbose=False)
+    params["layers"][0] = params8["layers"][0]
+    for key in list(quantizers):
+        if key.startswith("layers.0."):
+            quantizers[key] = quantizers8[key]
+    bits_used = {r.wbits for r in quantizers.values()}
+    assert bits_used == {4, 8}
+
+    arch = registry.get_arch("llama")
+    ids = jnp.asarray(np.arange(16, dtype=np.int32)[None] % cfg.vocab_size)
+    want = np.asarray(arch.forward(params, cfg, ids))
+    params = pack_model("llama", cfg, params, quantizers, dtype=jnp.float32)
+    out = str(tmp_path / "packed")
+    save_packed(out, "llama", cfg, params, quantizers, spec)
+    cfg2, params2 = hf_loader.load_params(out, dtype=jnp.float32, seqlen=32)
+    lin_bits = {params2["layers"][i]["self_attn"]["q_proj"].bits
+                for i in range(cfg.num_layers)}
+    got = np.asarray(arch.forward(params2, cfg2, ids))
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+    # heterogeneous layers cannot stack; runner must still work (unrolled)
+    runner = ModelRunner("llama", cfg2, params2, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    if len(lin_bits) > 1:
+        assert runner.stacked is None
+    cache = runner.init_cache()
+    logits, _ = runner.prefill(ids[:, :8], cache)
+    np.testing.assert_allclose(np.asarray(logits), want[:, :8], atol=5e-3,
+                               rtol=0)
+
+
+def test_trits_eval(tmp_path):
+    """Ternary mode (--trits): fake-quant eval path (reference opt.py:91)."""
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path)
+    cfg, params = hf_loader.load_params(d, dtype=jnp.float32, seqlen=32)
+    train, test = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32,
+                              model=cfg)
+    spec = QuantizeSpec(wbits=2, trits=True, chunk=4)
+    params, quantizers, _ = quantize_model("llama", cfg, params, train, spec,
+                                           verbose=False)
+    ppl = perplexity("llama", cfg, params, test[:32 * 16], seqlen=32)
+    assert np.isfinite(ppl)
+
+
+def test_cli_end_to_end(tmp_path, capsys):
+    """The CLI surface: quantize -> save -> reload -> benchmark."""
+    from gptq_for_llama_tpu.cli.main import main
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path / "m")
+    out = str(tmp_path / "packed")
+    main([str(d), "synthetic", "--wbits", "4", "--groupsize", "16",
+          "--nsamples", "4", "--chunk", "4", "--seqlen", "32",
+          "--save", out])
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    main([str(d), "synthetic", "--load", out, "--seqlen", "32",
+          "--benchmark", "8", "--check"])
+    captured = capsys.readouterr().out
+    line = [l for l in captured.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["tokens"] == 8 and np.isfinite(res["ppl"])
