@@ -23,23 +23,25 @@ from ..models.registry import get_arch
 def _nll_fn(arch, cfg):
     @jax.jit
     def nll(params, ids):
-        """Summed shifted cross-entropy for one (1, seqlen) window, fp32."""
+        """Per-window summed shifted cross-entropy for (B, seqlen) windows."""
         logits = arch.forward(params, cfg, ids).astype(jnp.float32)
         shift_logits = logits[:, :-1]
         shift_labels = ids[:, 1:]
         logp = jax.nn.log_softmax(shift_logits, axis=-1)
         tok = jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)
         # mean CE over seqlen-1 tokens, scaled by seqlen (reference llama.py:250-252)
-        return -jnp.mean(tok) * ids.shape[1]
+        return -jnp.mean(tok, axis=(1, 2)) * ids.shape[1]
 
     return nll
 
 
 def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
-               verbose: bool = False, log=print) -> float:
+               verbose: bool = False, log=print, batch: int = 8) -> float:
     """Wikitext2/PTB/C4-style perplexity over a flat token stream.
 
     test_ids: (T,) int32. Uses floor(T / seqlen) windows (reference llama.py:181).
+    Windows run `batch` at a time under one jit (the reference evaluates one by
+    one; batching only amortizes dispatch — per-window NLLs are identical).
     """
     arch = get_arch(arch_name)
     seqlen = seqlen or cfg.max_seq_len
@@ -47,12 +49,21 @@ def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
     nsamples = len(test_ids) // seqlen
     if nsamples == 0:
         raise ValueError(f"test stream of {len(test_ids)} tokens < seqlen {seqlen}")
+    windows = test_ids[: nsamples * seqlen].reshape(nsamples, seqlen)
     nll = _nll_fn(arch, cfg)
     total = 0.0
-    for i in range(nsamples):
-        ids = jnp.asarray(test_ids[i * seqlen:(i + 1) * seqlen], jnp.int32)[None]
-        total += float(nll(params, ids))
-        if verbose and (i + 1) % 16 == 0:
-            log(f"  ppl eval {i + 1}/{nsamples}: "
-                f"{float(np.exp(total / ((i + 1) * seqlen))):.4f}")
+    done = 0
+    for i in range(0, nsamples, batch):
+        chunk = windows[i:i + batch]
+        if len(chunk) < batch and nsamples >= batch:
+            # keep one compiled shape: pad then drop the padded rows' nlls
+            pad = batch - len(chunk)
+            vals = nll(params, jnp.asarray(np.pad(chunk, ((0, pad), (0, 0)))))
+            total += float(jnp.sum(vals[: len(chunk)]))
+        else:
+            total += float(jnp.sum(nll(params, jnp.asarray(chunk))))
+        done += len(chunk)
+        if verbose and (i // batch) % 4 == 3:
+            log(f"  ppl eval {done}/{nsamples}: "
+                f"{float(np.exp(total / (done * seqlen))):.4f}")
     return float(np.exp(total / (nsamples * seqlen)))

@@ -1,0 +1,118 @@
+"""Paged KV cache: block-table memory management for continuous batching.
+
+Beyond the reference (whose cache is a growing per-sequence concat,
+fused_attn.py:140-143) and required by the north star: sequences share one
+physical block pool (L, num_blocks, block_size, Hkv, D); each slot owns a
+block table mapping logical block -> physical block. Memory scales with
+actual tokens, not slots * max_len, so many more concurrent sequences fit.
+
+Device side is functional: writes are per-slot scatters into the pool,
+attention gathers the slot's blocks through the table. The allocator is host
+code (the scheduler already runs on host between decode steps).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class BlockAllocator:
+    """Host-side free-list over the physical block pool."""
+
+    num_blocks: int
+
+    def __post_init__(self):
+        self.free = list(range(self.num_blocks - 1, -1, -1))
+        self.owned: dict[int, list[int]] = {}
+
+    def alloc(self, slot: int, n: int) -> list[int]:
+        if len(self.free) < n:
+            raise MemoryError(f"paged KV pool exhausted: need {n}, "
+                              f"have {len(self.free)} free blocks")
+        blocks = [self.free.pop() for _ in range(n)]
+        self.owned.setdefault(slot, []).extend(blocks)
+        return blocks
+
+    def release(self, slot: int):
+        self.free.extend(reversed(self.owned.pop(slot, [])))
+
+    def ensure_capacity(self, slot: int, tokens: int, block_size: int) -> list[int]:
+        """Grow slot's table so `tokens` positions fit; returns new blocks."""
+        have = len(self.owned.get(slot, []))
+        need = -(-tokens // block_size) - have
+        return self.alloc(slot, need) if need > 0 else []
+
+
+class PagedKV:
+    """Device pool + per-slot block tables (padded to max_blocks_per_slot)."""
+
+    def __init__(self, num_layers: int, num_blocks: int, block_size: int,
+                 num_kv_heads: int, head_dim: int, slots: int,
+                 max_len: int, dtype=jnp.bfloat16):
+        self.block_size = block_size
+        self.max_blocks = -(-max_len // block_size)
+        shape = (num_layers, num_blocks, block_size, num_kv_heads, head_dim)
+        self.k = jnp.zeros(shape, dtype)
+        self.v = jnp.zeros(shape, dtype)
+        # physical block per (slot, logical block); 0 is a valid block, unused
+        # entries are masked by the offset so any filler value is safe
+        self.tables = np.zeros((slots, self.max_blocks), np.int32)
+        self.alloc = BlockAllocator(num_blocks)
+
+    def tables_device(self):
+        return jnp.asarray(self.tables)
+
+
+def paged_write(k_pool, v_pool, k_new, v_new, tables, offsets):
+    """Write one token per slot into the pool.
+
+    k_pool/v_pool: (L, NB, BS, H, D); k_new/v_new: (L, B, 1, H, D);
+    tables: (B, max_blocks) int32; offsets: (B,) int32 (position being written).
+    Returns updated pools.
+    """
+    bs = k_pool.shape[2]
+    phys = jnp.take_along_axis(tables, (offsets // bs)[:, None], axis=1)[:, 0]
+    off = offsets % bs
+
+    def write_slot(pools, b):
+        kp, vp = pools
+        kp = jax.lax.dynamic_update_slice(
+            kp, k_new[:, b][:, None], (0, phys[b], off[b], 0, 0))
+        vp = jax.lax.dynamic_update_slice(
+            vp, v_new[:, b][:, None], (0, phys[b], off[b], 0, 0))
+        return (kp, vp), None
+
+    (k_pool, v_pool), _ = jax.lax.scan(write_slot, (k_pool, v_pool),
+                                       jnp.arange(tables.shape[0]))
+    return k_pool, v_pool
+
+
+def paged_gather(pool_layer, table):
+    """(NB, BS, H, D) pool layer + (max_blocks,) table -> (max_blocks*BS, H, D)
+    contiguous logical KV for one slot."""
+    blocks = jnp.take(pool_layer, table, axis=0)  # (MB, BS, H, D)
+    mb, bs, h, d = blocks.shape
+    return blocks.reshape(mb * bs, h, d)
+
+
+def paged_decode_attention(q, k_pool_layer, v_pool_layer, tables, offsets,
+                           scale: float):
+    """Single-token attention over the paged cache (one layer).
+
+    q: (B, 1, H, D); pools: (NB, BS, Hkv, D); tables (B, MB); offsets (B,).
+    The token's k/v must already be written at `offsets`. Returns (B, 1, H, D).
+    """
+    from ..models.common import sdpa, decode_mask
+
+    def one(qb, table, off):
+        k = paged_gather(k_pool_layer, table)[None]  # (1, S, H, D)
+        v = paged_gather(v_pool_layer, table)[None]
+        mask = decode_mask(1, k.shape[1], off)
+        return sdpa(qb[None], k, v, mask, scale=scale)[0]
+
+    return jax.vmap(one)(q, tables, offsets)
