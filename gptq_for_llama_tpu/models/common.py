@@ -104,6 +104,30 @@ def decode_mask(q_len: int, max_len: int, offset, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
+def apply_kv_cache(past_kv, k, v):
+    """Uniform cache protocol used by every arch layer.
+
+    past_kv forms:
+      None                          -> no cache (plain causal forward)
+      (ck, cv, offset)              -> dense static cache (runner/serving)
+      ("paged", kp, vp, tables, offset) -> paged block-pool cache (one layer's
+                                       pool slice (NB, BS, Hkv, D); see
+                                       runtime/paged.py)
+    Returns (k_eff, v_eff, present, offset_or_None): k_eff/v_eff are what
+    attention reads; present is what the layer must return as its cache.
+    """
+    if past_kv is None:
+        return k, v, (k, v), None
+    if past_kv[0] == "paged":
+        _, kp, vp, tables, offset = past_kv
+        from ..runtime.paged import paged_update_layer
+        kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k, v, tables, offset)
+        return k_eff, v_eff, (kp, vp), offset
+    cache_k, cache_v, offset = past_kv
+    k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
+    return k, v, (k, v), offset
+
+
 def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     """Additive causal mask (q_len, kv_len); query i attends kv <= i + kv_len - q_len."""
     qi = jnp.arange(q_len)[:, None]

@@ -19,8 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_rope, causal_mask, rms_norm,
-                     rope_cos_sin, sdpa, update_kv_cache)
+from .common import (activation, apply_kv_cache, apply_rope, causal_mask,
+                     rms_norm, rope_cos_sin, sdpa)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -113,13 +113,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     cos, sin = rope if rope is not None else rope_cos_sin(
         positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin)
-    present = (k, v)
-    decode_offset = None
-    if past_kv is not None:
-        cache_k, cache_v, offset = past_kv
-        k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
-        present = (k, v)
-        decode_offset = offset
+    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
     attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
     o = linear_apply(att["o_proj"], attn_out)
     x = x + o

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import activation, causal_mask, layer_norm, sdpa, update_kv_cache
+from .common import (activation, apply_kv_cache, causal_mask, layer_norm, sdpa)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -89,13 +89,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     q = linear_apply(att["q_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = linear_apply(att["k_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = linear_apply(att["v_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    present = (k, v)
-    decode_offset = None
-    if past_kv is not None:
-        cache_k, cache_v, offset = past_kv
-        k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
-        present = (k, v)
-        decode_offset = offset
+    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
     attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
     o = linear_apply(att["out_proj"], attn_out)
     x = residual + o

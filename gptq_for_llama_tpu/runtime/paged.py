@@ -100,6 +100,64 @@ def paged_gather(pool_layer, table):
     return blocks.reshape(mb * bs, h, d)
 
 
+def paged_update_layer(kp, vp, k_new, v_new, tables, offset):
+    """One layer's paged-cache update + logical gather (the arch-layer hook).
+
+    kp/vp: (NB, BS, Hkv, D) this layer's pool slice; k_new/v_new (B, s, H, D);
+    tables (B, MB); offset scalar or (B,) — the first position being written.
+    s == 1 is the decode write; s > 1 is a prefill write and requires
+    block-aligned offsets (serving prefills at 0). Writing past the sequence
+    end inside a block is safe: those positions are masked until the real
+    token overwrites them before first read. Returns (kp, vp, k_eff, v_eff)
+    where k_eff/v_eff are the gathered logical (B, MB*BS, H, D) views.
+    """
+    b, s, h, d = k_new.shape
+    bs = kp.shape[1]
+    offv = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
+    k_new = k_new.astype(kp.dtype)
+    v_new = v_new.astype(vp.dtype)
+
+    if s == 1:
+        phys = jnp.take_along_axis(tables, (offv // bs)[:, None], axis=1)[:, 0]
+        off_in = offv % bs
+
+        def write(pools, bi):
+            kpl, vpl = pools
+            kpl = jax.lax.dynamic_update_slice(
+                kpl, k_new[bi][None], (phys[bi], off_in[bi], 0, 0))
+            vpl = jax.lax.dynamic_update_slice(
+                vpl, v_new[bi][None], (phys[bi], off_in[bi], 0, 0))
+            return (kpl, vpl), None
+
+        (kp, vp), _ = jax.lax.scan(write, (kp, vp), jnp.arange(b))
+    else:
+        nblk = -(-s // bs)
+        pad = nblk * bs - s
+        if pad:
+            k_new = jnp.pad(k_new, ((0, 0), (0, pad), (0, 0), (0, 0)))
+            v_new = jnp.pad(v_new, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        kc = k_new.reshape(b, nblk, bs, h, d)
+        vc = v_new.reshape(b, nblk, bs, h, d)
+
+        def write(pools, bi):
+            kpl, vpl = pools
+            base = offv[bi] // bs
+            for j in range(nblk):
+                phys = jax.lax.dynamic_slice(tables, (bi, base + j), (1, 1))[0, 0]
+                kpl = jax.lax.dynamic_update_slice(
+                    kpl, kc[bi, j][None], (phys, 0, 0, 0))
+                vpl = jax.lax.dynamic_update_slice(
+                    vpl, vc[bi, j][None], (phys, 0, 0, 0))
+            return (kpl, vpl), None
+
+        (kp, vp), _ = jax.lax.scan(write, (kp, vp), jnp.arange(b))
+
+    mb = tables.shape[1]
+    gather = jax.vmap(lambda t: jnp.take(kp, t, axis=0).reshape(mb * bs, h, d))
+    gather_v = jax.vmap(lambda t: jnp.take(vp, t, axis=0).reshape(mb * bs, h, d))
+    return kp, vp, gather(tables), gather_v(tables)
+
+
 def paged_decode_attention(q, k_pool_layer, v_pool_layer, tables, offsets,
                            scale: float):
     """Single-token attention over the paged cache (one layer).

@@ -23,6 +23,53 @@ def test_allocator_alloc_release():
     assert a.ensure_capacity(1, tokens=5 * 16, block_size=16) != []  # grow to 5
 
 
+def test_layer_paged_matches_dense():
+    """arch.layer with the paged protocol == dense cache, prefill + decode."""
+    from gptq_for_llama_tpu.models import registry
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=8, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    lp = params["layers"][0]
+    rng = np.random.RandomState(1)
+    B, BS, MB = 2, 8, 3
+    max_len = MB * BS
+
+    paged = PagedKV(1, 8, BS, cfg.num_kv_heads, cfg.head_dim, slots=B,
+                    max_len=max_len, dtype=jnp.float32)
+    for slot in range(B):
+        blocks = paged.alloc.ensure_capacity(slot, max_len, BS)
+        paged.tables[slot, :len(blocks)] = blocks
+    tables = paged.tables_device()
+    kp, vp = paged.k[0], paged.v[0]
+
+    dk = jnp.zeros((B, max_len, cfg.num_kv_heads, cfg.head_dim), jnp.float32)
+    dv = jnp.zeros_like(dk)
+
+    # prefill 8 tokens (block-aligned), then 3 decode steps
+    x0 = jnp.asarray(rng.standard_normal((B, 8, 32)).astype(np.float32))
+    pos = jnp.arange(8)[None, :]
+    off = jnp.zeros((B,), jnp.int32)
+    mask = decode_mask(8, max_len, off)
+    yd, _, (dk, dv) = arch.layer(cfg, lp, x0, pos, mask, (dk, dv, off))
+    yp, _, (kp, vp) = arch.layer(cfg, lp, x0, pos, mask,
+                                 ("paged", kp, vp, tables, off))
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5,
+                               rtol=1e-5)
+    for t in range(8, 11):
+        x1 = jnp.asarray(rng.standard_normal((B, 1, 32)).astype(np.float32))
+        pos = jnp.full((B, 1), t, jnp.int32)
+        off = jnp.full((B,), t, jnp.int32)
+        mask = decode_mask(1, max_len, off)
+        yd, _, (dk, dv) = arch.layer(cfg, lp, x1, pos, mask, (dk, dv, off))
+        yp, _, (kp, vp) = arch.layer(cfg, lp, x1, pos, mask,
+                                     ("paged", kp, vp, tables, off))
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5,
+                                   rtol=1e-5, err_msg=f"t={t}")
+
+
 def test_paged_matches_dense_cache():
     L, B, H, D, BS, NB = 2, 3, 4, 32, 8, 16
     max_len = 24  # 3 blocks/slot
