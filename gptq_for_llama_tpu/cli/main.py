@@ -116,6 +116,13 @@ def main(argv=None):
         save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
         print(f"packed checkpoint saved to {args.save}")
 
+    if args.tp and args.tp > 1:
+        import jax
+        from ..parallel.sharding import make_mesh, shard_model_params
+        mesh = make_mesh(tp=args.tp, dp=max(len(jax.devices()) // args.tp, 1))
+        params = shard_model_params(cfg.arch, cfg, params, mesh)
+        print(f"sharded over mesh {dict(mesh.shape)}")
+
     if args.eval:
         datasets = ["wikitext2", "ptb", "c4"] if args.dataset != "synthetic" \
             else ["synthetic"]

@@ -172,7 +172,8 @@ def _quantize_one(w_t, h, spec: QuantizeSpec, wbits: int, groupsize: int):
 
 
 def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpec,
-                   verbose: bool = True, log=print, resume_dir: str = None):
+                   verbose: bool = True, log=print, resume_dir: str = None,
+                   mesh=None):
     """Quantize all decoder layers in place-functionally.
 
     params: model pytree with DENSE fp weights (kernels (in, out)).
@@ -184,6 +185,11 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
     the fake-quantized kernels + QuantRecords are written there; a re-run with
     the same directory skips completed layers (the reference has NO mid-
     quantization resume — a 65B run that dies must restart, SURVEY.md §5).
+
+    mesh: optional jax Mesh with a 'dp' axis — calibration activations shard
+    over it (data-parallel calibration; the Hessian einsum contracts the token
+    dim, so XLA inserts the cross-device reduction). The reference is strictly
+    single-GPU here. Each microbatch chunk must divide by the dp size.
     """
     arch = get_arch(arch_name)
     t_start = time.time()
@@ -191,6 +197,14 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
     ns, seqlen = windows.shape
     chunk = min(spec.chunk, ns)
     assert ns % chunk == 0, f"nsamples {ns} must divide by chunk {chunk}"
+
+    shard_batch = lambda x: x
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        dp = mesh.shape.get("dp", 1)
+        assert chunk % dp == 0, f"chunk {chunk} must divide by dp {dp}"
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        shard_batch = lambda x: jax.device_put(x, batch_sharding)
     positions = jnp.arange(seqlen)[None, :]
     mask = causal_mask(seqlen, seqlen)
 
@@ -198,8 +212,9 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
     dtype = jax.tree_util.tree_leaves(dtype)[0].dtype
 
     embed_fn = jax.jit(lambda ids: arch.embed(params, cfg, ids))
-    x = jnp.concatenate([embed_fn(windows[i:i + chunk])
+    x = jnp.concatenate([embed_fn(shard_batch(windows[i:i + chunk]))
                          for i in range(0, ns, chunk)], axis=0)
+    x = shard_batch(x)
 
     quantizers: dict[str, QuantRecord] = {}
     observer = Observer()
@@ -222,8 +237,9 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
             if key0 not in fwd_cache:
                 fwd_cache[key0] = _make_layer_fns(arch, cfg, key0)
             _, fwd = fwd_cache[key0]
-            x = jnp.concatenate([fwd(lp, x[i:i + chunk], positions, mask)
-                                 for i in range(0, ns, chunk)], axis=0)
+            x = shard_batch(jnp.concatenate(
+                [fwd(lp, x[i:i + chunk], positions, mask)
+                 for i in range(0, ns, chunk)], axis=0))
             continue
         groups = [[n for n in g if n in names_present]
                   for g in arch.sequential_groups(spec.true_sequential)]
@@ -271,8 +287,9 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
 
         # propagate quantized activations to the next layer (llama.py:122-130)
         _, fwd = fwd_cache[tuple(groups[0])]
-        x = jnp.concatenate([fwd(lp, x[i:i + chunk], positions, mask)
-                             for i in range(0, ns, chunk)], axis=0)
+        x = shard_batch(jnp.concatenate(
+            [fwd(lp, x[i:i + chunk], positions, mask)
+             for i in range(0, ns, chunk)], axis=0))
 
     if spec.observe:
         _auto_upgrade(arch, params, quantizers, observer, spec, verbose, log)

@@ -84,6 +84,26 @@ def test_tp_cached_decode_matches(packed_model):
                                atol=2e-4, rtol=1e-3)
 
 
+def test_dp_calibration_matches_single_device():
+    """Data-parallel calibration (batch sharded over dp) == single-device."""
+    from gptq_for_llama_tpu.engine import QuantizeSpec, quantize_model
+    cfg = _cfg()
+    arch = registry.get_arch("llama")
+    params_a = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    params_b = jax.tree_util.tree_map(lambda x: x, params_a)
+    train, _ = get_loaders("synthetic", nsamples=8, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=32, chunk=8)
+
+    _, q_single, _ = quantize_model("llama", cfg, params_a, train, spec,
+                                    verbose=False)
+    mesh = make_mesh(tp=1, dp=8)
+    _, q_dp, _ = quantize_model("llama", cfg, params_b, train, spec,
+                                verbose=False, mesh=mesh)
+    for key in q_single:
+        np.testing.assert_allclose(q_dp[key].scale, q_single[key].scale,
+                                    rtol=1e-4, atol=1e-7, err_msg=key)
+
+
 def test_row_shard_divisibility_error(packed_model):
     cfg, params = packed_model
     mesh = make_mesh(tp=8, dp=1)
