@@ -58,13 +58,22 @@ def _bucket(n: int, buckets) -> int:
 class ServingEngine:
     def __init__(self, arch_name: str, cfg, params, batch_slots: int = 8,
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
-                 prefill_buckets=(32, 128, 512)):
+                 prefill_buckets=(32, 128, 512), paged: bool = False,
+                 block_size: int = 16, num_blocks: Optional[int] = None):
         self.arch = get_arch(arch_name)
         self.cfg = cfg
         self.dtype = dtype
         self.b = batch_slots
         self.max_len = max_seq_len or cfg.max_seq_len
         self.buckets = tuple(b for b in prefill_buckets if b <= self.max_len)
+        # paged mode: slots share a block pool sized by actual tokens instead
+        # of slots * max_len (runtime/paged.py); prompts always start at a
+        # block boundary (offset 0), so prefill writes whole blocks
+        self.paged = paged
+        self.block_size = block_size
+        self.max_blocks = -(-self.max_len // block_size)
+        self.num_blocks = num_blocks or batch_slots * self.max_blocks
+        self.logical_len = self.max_blocks * block_size
         stacked = stack_layers(params["layers"])
         self._sp = {
             "statics": {k: v for k, v in params.items() if k != "layers"},
@@ -81,48 +90,58 @@ class ServingEngine:
 
     # -- jitted model steps --------------------------------------------------
 
-    def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets):
+    def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets,
+                tables=None):
         arch, cfg = self.arch, self.cfg
         rope = arch.step_rope(cfg, positions, self.dtype)
+
+        def past(ck, cv):
+            if tables is None:
+                return (ck, cv, offsets)
+            return ("paged", ck, cv, tables, offsets)
+
         if sp["stacked"] is not None:
             def body(xc, layer_in):
                 lp, ck, cv = layer_in
                 y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
-                                              (ck, cv, offsets), rope=rope)
+                                              past(ck, cv), rope=rope)
                 return y, (ck2, cv2)
             x, (k2, v2) = jax.lax.scan(body, x, (sp["stacked"], k_cache, v_cache))
             return x, k2, v2
         ks, vs = [], []
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
-                                        (k_cache[li], v_cache[li], offsets),
+                                        past(k_cache[li], v_cache[li]),
                                         rope=rope)
             ks.append(k2)
             vs.append(v2)
         return x, jnp.stack(ks), jnp.stack(vs)
 
+    def _kv_len(self) -> int:
+        return self.logical_len if self.paged else self.max_len
+
     def _make_decode(self):
         arch, cfg = self.arch, self.cfg
 
-        def step(sp, toks, k_cache, v_cache, offsets, live):
+        def step(sp, toks, k_cache, v_cache, offsets, live, tables):
             """toks (B,1); offsets (B,); live (B,) bool. One token for all slots."""
             positions = offsets[:, None]
-            mask = decode_mask(1, self.max_len, offsets)
+            mask = decode_mask(1, self._kv_len(), offsets)
             x = arch.embed(sp["statics"], cfg, toks, positions).astype(self.dtype)
             x, k2, v2 = self._layers(sp, x, positions, mask, k_cache, v_cache,
-                                     offsets)
+                                     offsets, tables=tables)
             logits = arch.head(sp["statics"], cfg, x)[:, -1]
             new_off = jnp.where(live, offsets + 1, offsets)
             return logits, k2, v2, new_off
 
-        return step
+        return step  # jitted once by __init__
 
     def _get_prefill(self, blen: int):
         if blen in self._prefills:
             return self._prefills[blen]
         arch, cfg = self.arch, self.cfg
 
-        def prefill(sp, ids, k_cache, v_cache, slot, true_len):
+        def prefill_dense(sp, ids, k_cache, v_cache, slot, true_len):
             """ids (1, blen) right-padded; writes into cache slot; returns
             last-real-token logits (1, V)."""
             kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
@@ -142,7 +161,23 @@ class ServingEngine:
                                                           axis=1)
             return last, k_cache, v_cache
 
-        self._prefills[blen] = jax.jit(prefill)
+        def prefill_paged(sp, ids, k_pool, v_pool, table_row, true_len):
+            """Writes whole blocks of the slot's table (prompt starts at 0)."""
+            offsets = jnp.zeros((1,), jnp.int32)
+            positions = jnp.arange(blen)[None, :]
+            mask = decode_mask(blen, self._kv_len(), 0)
+            x = arch.embed(sp["statics"], cfg, ids, positions).astype(self.dtype)
+            x, k_pool, v_pool = self._layers(sp, x, positions, mask, k_pool,
+                                             v_pool, offsets,
+                                             tables=table_row[None])
+            logits = arch.head(sp["statics"], cfg, x)
+            last = jnp.take_along_axis(
+                logits, (true_len - 1)[None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            return last, k_pool, v_pool
+
+        self._prefills[blen] = jax.jit(prefill_paged if self.paged
+                                       else prefill_dense)
         return self._prefills[blen]
 
     # -- scheduler -----------------------------------------------------------
@@ -156,15 +191,37 @@ class ServingEngine:
         for i, slot in enumerate(self.slots):
             if not slot.done or not self.queue:
                 continue
+            # paged: allocate only the blocks this request can actually touch
+            if self.paged:
+                req_peek = self.queue[0]
+                plen = len(np.asarray(req_peek.prompt).reshape(-1))
+                blen_need = _bucket(plen, self.buckets)
+                tokens = min(max(blen_need, plen + req_peek.max_new_tokens),
+                             self.max_len)
+                try:
+                    self._paged_alloc.release(i)
+                    blocks = self._paged_alloc.ensure_capacity(
+                        i, tokens, self.block_size)
+                except MemoryError:
+                    continue  # pool full: request waits for a retirement
+                self._tables_np[i, :] = 0
+                owned = self._paged_alloc.owned[i]
+                self._tables_np[i, :len(owned)] = owned
+                state["tables"] = jnp.asarray(self._tables_np)
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt, np.int32).reshape(-1)
             blen = _bucket(len(prompt), self.buckets)
             padded = np.zeros((1, blen), np.int32)
             padded[0, :len(prompt)] = prompt
             fn = self._get_prefill(blen)
-            last, k_cache, v_cache = fn(
-                self._sp, jnp.asarray(padded), k_cache, v_cache,
-                jnp.int32(i), jnp.int32(len(prompt)))
+            if self.paged:
+                last, k_cache, v_cache = fn(
+                    self._sp, jnp.asarray(padded), k_cache, v_cache,
+                    state["tables"][i], jnp.int32(len(prompt)))
+            else:
+                last, k_cache, v_cache = fn(
+                    self._sp, jnp.asarray(padded), k_cache, v_cache,
+                    jnp.int32(i), jnp.int32(len(prompt)))
             self._key, sub = jax.random.split(self._key)
             tok = int(sample_logits(last, sub, req.temperature, req.top_p)[0])
             slot.req = req
@@ -180,11 +237,20 @@ class ServingEngine:
 
     def run(self, log=None) -> dict[int, np.ndarray]:
         """Drain the queue; returns {uid: generated token array}."""
-        shape = (self.num_layers, self.b, self.max_len,
-                 self.cfg.num_kv_heads, self.cfg.head_dim)
+        if self.paged:
+            from .paged import BlockAllocator
+            self._paged_alloc = BlockAllocator(self.num_blocks)
+            self._tables_np = np.zeros((self.b, self.max_blocks), np.int32)
+            shape = (self.num_layers, self.num_blocks, self.block_size,
+                     self.cfg.num_kv_heads, self.cfg.head_dim)
+        else:
+            shape = (self.num_layers, self.b, self.max_len,
+                     self.cfg.num_kv_heads, self.cfg.head_dim)
         state = {
             "k": jnp.zeros(shape, self.dtype),
             "v": jnp.zeros(shape, self.dtype),
+            "tables": (jnp.zeros((self.b, self.max_blocks), jnp.int32)
+                       if self.paged else None),
             "off": jnp.zeros((self.b,), jnp.int32),
             "host_off": np.zeros((self.b,), np.int64),
             "temps": np.zeros((self.b,), np.float32),
@@ -201,7 +267,7 @@ class ServingEngine:
             live_j = jnp.asarray(state["live"])
             logits, state["k"], state["v"], state["off"] = self._decode(
                 self._sp, jnp.asarray(state["toks"][:, None]), state["k"],
-                state["v"], state["off"], live_j)
+                state["v"], state["off"], live_j, state["tables"])
             state["host_off"][state["live"]] += 1
             self._key, sub = jax.random.split(self._key)
             toks_np = np.asarray(sample_logits(
@@ -221,6 +287,10 @@ class ServingEngine:
                     self.results[req.uid] = np.asarray(slot.generated, np.int32)
                     slot.done = True
                     state["live"][i] = False
+                    # paged blocks are NOT released here: a retired slot still
+                    # participates in the batched decode step and re-writes its
+                    # frozen position — its blocks stay owned until the slot is
+                    # re-admitted (released at the top of _admit)
                 else:
                     state["toks"][i] = t
             steps += 1

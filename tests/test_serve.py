@@ -44,6 +44,33 @@ def test_serving_matches_single_sequence_greedy():
                                       err_msg=f"request {uid}")
 
 
+def test_paged_serving_matches_dense():
+    """paged=True engine produces identical greedy outputs to the dense one,
+    with a pool smaller than slots * max_len."""
+    cfg, params = _setup()
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([5, 6], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32),
+               np.array([2, 2, 2], np.int32)]
+
+    def run(**kw):
+        eng = ServingEngine("llama", cfg, params, batch_slots=2,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                  temperature=0.0))
+        return eng.run()
+
+    dense = run()
+    # pool: 2 slots x 4 blocks would be 8; give 6 to force real block reuse
+    paged = run(paged=True, block_size=8, num_blocks=6)
+    for uid in dense:
+        np.testing.assert_array_equal(paged[uid], dense[uid],
+                                      err_msg=f"request {uid}")
+
+
 def test_serving_eos_frees_slot():
     cfg, params = _setup()
     engine = ServingEngine("llama", cfg, params, batch_slots=2,
