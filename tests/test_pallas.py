@@ -80,6 +80,19 @@ def test_qmm_padded_k():
     assert wire["scales"].shape == (k // gs, n)
 
 
+def test_qmm_3bit_actorder():
+    """act-order (non-monotone g_idx) + the 3-bit bit-plane layout together."""
+    k, n, gs = 128, 128, 32
+    lin = _random_packed(k, n, 3, gs, seed=44, actorder=True)
+    assert lin.perm is not None and lin.layout == "tpu"
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
 def test_qmm_actorder_perm():
     k, n, gs = 64, 128, 16
     lin = _random_packed(k, n, 4, gs, actorder=True)
