@@ -36,15 +36,20 @@ def _nll_fn(arch, cfg):
 
 
 def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
-               verbose: bool = False, log=print, batch: int = 8) -> float:
+               verbose: bool = False, log=print, batch: int | None = None) -> float:
     """Wikitext2/PTB/C4-style perplexity over a flat token stream.
 
     test_ids: (T,) int32. Uses floor(T / seqlen) windows (reference llama.py:181).
     Windows run `batch` at a time under one jit (the reference evaluates one by
     one; batching only amortizes dispatch — per-window NLLs are identical).
+    Default batch scales down with seqlen: full-causal attention materializes
+    (B, H, S, S) fp32 logits (~0.5 GB per layer at S=2048, B=1), so long
+    sequences cap the batch until a flash prefill kernel lands.
     """
     arch = get_arch(arch_name)
     seqlen = seqlen or cfg.max_seq_len
+    if batch is None:
+        batch = max(1, min(8, (512 * 512 * 8) // (seqlen * seqlen)))
     test_ids = np.asarray(test_ids).reshape(-1)
     nsamples = len(test_ids) // seqlen
     if nsamples == 0:

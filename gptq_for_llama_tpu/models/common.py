@@ -147,6 +147,18 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None):
     kernel on TPU (mask is then ignored; it encodes the same predicate).
     """
     b, sq, h, d = q.shape
+    # long prefill: chunk the query axis so the (B, H, Sq, Skv) fp32 logits
+    # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2)
+    _Q_CHUNK = 256
+    if sq > _Q_CHUNK and sq % _Q_CHUNK == 0 and decode_offset is None:
+        outs = []
+        for qs in range(0, sq, _Q_CHUNK):
+            m = mask
+            if m is not None:
+                m = m[..., qs:qs + _Q_CHUNK, :] if m.ndim == 4 \
+                    else m[qs:qs + _Q_CHUNK]
+            outs.append(sdpa(q[:, qs:qs + _Q_CHUNK], k, v, m, scale))
+        return jnp.concatenate(outs, axis=1)
     if decode_offset is not None and sq == 1:
         import os
         forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")

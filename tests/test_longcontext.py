@@ -1,0 +1,39 @@
+"""Long-sequence paths: chunked-query attention parity + long-seq eval."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gptq_for_llama_tpu.models.common import causal_mask, sdpa
+
+
+def test_chunked_query_sdpa_matches_unchunked():
+    b, s, h, d = 1, 512, 2, 32  # s > 256 triggers the chunked path
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    mask = causal_mask(s, s)
+    got = np.asarray(sdpa(q, k, v, mask))
+    # oracle: unchunked math via a non-multiple length (no chunk path)
+    want_parts = []
+    for qs in range(0, s, 128):  # manual reference chunks of a DIFFERENT size
+        want_parts.append(np.asarray(
+            sdpa(q[:, qs:qs + 128], k, v, mask[qs:qs + 128])))
+    want = np.concatenate(want_parts, axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_long_seq_eval_finite():
+    """seqlen 512 full-model eval through the chunked attention path."""
+    from gptq_for_llama_tpu.engine import perplexity
+    from gptq_for_llama_tpu.models import registry
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=8, max_seq_len=512)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    ids = np.random.RandomState(0).randint(0, 64, size=2 * 512).astype(np.int32)
+    ppl = perplexity("llama", cfg, params, ids, seqlen=512)
+    assert np.isfinite(ppl)
