@@ -136,7 +136,8 @@ def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
-def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None):
+def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
+         causal: bool = False):
     """Scaled dot-product attention with fp32 softmax.
 
     q: (B, Sq, H, D); k, v: (B, Skv, Hkv, D) with H a multiple of Hkv (GQA).
@@ -145,8 +146,21 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None):
     decode_offset: when given and Sq == 1, k/v are a static cache whose valid
     slots are <= offset — dispatches to the fused Pallas decode-attention
     kernel on TPU (mask is then ignored; it encodes the same predicate).
+    causal: asserts mask is plain causal self-attention — dispatches long
+    prefills to the VMEM-resident flash kernel on TPU.
     """
     b, sq, h, d = q.shape
+    if causal and decode_offset is None and sq > 256:
+        import os
+        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
+        use = forced == "pallas" or (forced != "xla"
+                                     and jax.default_backend() == "tpu")
+        from ..ops.pallas.flash import flash_prefill, supports_prefill
+        if use and supports_prefill(sq, k.shape[1], h, k.shape[2], d):
+            sc = scale if scale is not None else 1.0 / (d ** 0.5)
+            return flash_prefill(q, k, v, sc,
+                                 interpret=forced == "pallas"
+                                 and jax.default_backend() != "tpu")
     # long prefill: chunk the query axis so the (B, H, Sq, Skv) fp32 logits
     # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2)
     _Q_CHUNK = 256

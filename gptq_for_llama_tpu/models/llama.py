@@ -114,7 +114,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
         positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin)
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
+                    causal=past_kv is None).reshape(b, s, -1)
     o = linear_apply(att["o_proj"], attn_out)
     x = x + o
 

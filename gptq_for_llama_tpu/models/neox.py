@@ -82,7 +82,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
         positions, rotary_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin, rotary_dim=rotary_dim)
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
+                    causal=past_kv is None).reshape(b, s, -1)
     attn_out_proj = linear_apply(lp["attention"]["dense"], attn_out)
 
     if cfg.parallel_residual:

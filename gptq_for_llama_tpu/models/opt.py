@@ -90,7 +90,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     k = linear_apply(att["k_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = linear_apply(att["v_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset).reshape(b, s, -1)
+    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
+                    causal=past_kv is None).reshape(b, s, -1)
     o = linear_apply(att["out_proj"], attn_out)
     x = residual + o
     if not cfg.do_layer_norm_before:

@@ -24,6 +24,21 @@ def test_chunked_query_sdpa_matches_unchunked():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_flash_prefill_matches_sdpa():
+    from gptq_for_llama_tpu.ops.pallas.flash import (flash_prefill,
+                                                     supports_prefill)
+    b, s, h, hkv, d = 2, 512, 4, 2, 128  # GQA ratio 2
+    assert supports_prefill(s, s, h, hkv, d)
+    rng = np.random.RandomState(1)
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32))
+    want = np.asarray(sdpa(q, k, v, causal_mask(s, s)))
+    got = np.asarray(flash_prefill(q, k, v, d ** -0.5, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())  # kernel uses bf16 MXU inputs
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
 def test_long_seq_eval_finite():
     """seqlen 512 full-model eval through the chunked attention path."""
     from gptq_for_llama_tpu.engine import perplexity
