@@ -1,0 +1,104 @@
+"""Cross-implementation parity: run the REFERENCE's own torch-CPU code
+(/root/reference, read-only) against this framework on identical inputs.
+
+This is execution of the upstream implementation as an oracle — the strongest
+wire-format guarantee available without a GPU: byte-identical packed buffers
+and matching quantizer parameters mean reference checkpoints and ours are
+interchangeable. Skipped when the reference tree or torch is unavailable.
+"""
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference tree not mounted")
+
+
+def _load_ref(name, path):
+    # load module files directly: the reference package __init__ imports
+    # triton (GPU-only), but these modules themselves are guarded/pure
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref_quantizer():
+    return _load_ref("ref_quantizer", os.path.join(REF, "quant/quantizer.py"))
+
+
+@pytest.fixture(scope="module")
+def ref_quant_linear():
+    return _load_ref("ref_quant_linear",
+                     os.path.join(REF, "quant/quant_linear.py"))
+
+
+@pytest.mark.parametrize("sym", [False, True])
+@pytest.mark.parametrize("mse", [False, True])
+def test_find_params_matches_reference(ref_quantizer, sym, mse):
+    import torch
+    from gptq_for_llama_tpu.quant.quantizer import (QuantConfig,
+                                                    find_params_weight)
+    rng = np.random.RandomState(0)
+    w = rng.standard_normal((16, 64)).astype(np.float32)
+
+    q = ref_quantizer.Quantizer()
+    q.configure(4, perchannel=True, sym=sym, mse=mse)
+    q.find_params(torch.from_numpy(w), weight=True)
+    ref_scale = q.scale.numpy().reshape(-1)
+    ref_zero = q.zero.numpy().reshape(-1)
+
+    cfg = QuantConfig(bits=4, perchannel=True, sym=sym, mse=mse)
+    s, z = find_params_weight(jnp.asarray(w), cfg)
+    np.testing.assert_allclose(np.asarray(s).reshape(-1), ref_scale,
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(z).reshape(-1), ref_zero,
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_packed_buffers_match_reference(ref_quant_linear):
+    """Same quantized weight packed by both implementations: byte-identical."""
+    import torch
+    from gptq_for_llama_tpu.quant import packing
+    rng = np.random.RandomState(1)
+    K, N, GS, BITS = 64, 32, 16, 4
+    G = K // GS
+    # a lattice-aligned weight with integer codes and zeros >= 1
+    codes = rng.randint(0, 16, size=(N, K)).astype(np.float32)
+    zeros = rng.randint(1, 15, size=(N, G)).astype(np.float32)
+    scales = (rng.rand(N, G) * 0.02 + 0.005).astype(np.float32)
+    g_idx = (np.arange(K) // GS).astype(np.int32)
+    w = (codes - zeros[:, g_idx]) * scales[:, g_idx]  # (N, K)
+
+    # reference pack (torch CPU)
+    lin = torch.nn.Linear(K, N, bias=False)
+    lin.weight.data = torch.from_numpy(w)
+    ql = ref_quant_linear.QuantLinear(BITS, GS, K, N, bias=False)
+    ql.pack(lin, torch.from_numpy(scales), torch.from_numpy(zeros),
+            g_idx=torch.from_numpy(g_idx))
+
+    # our pack
+    ours = packing.pack_quantized(w, scales, zeros, g_idx, BITS)
+
+    np.testing.assert_array_equal(ours["qweight"], ql.qweight.numpy())
+    np.testing.assert_array_equal(ours["qzeros"], ql.qzeros.numpy())
+    np.testing.assert_array_equal(ours["scales"],
+                                  ql.scales.numpy().astype(np.float16))
+    np.testing.assert_array_equal(ours["g_idx"], ql.g_idx.numpy())
+
+    # and our loader dequantizes the reference's buffers back to w exactly
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+    pl_ = PackedLinear.from_wire(ql.qweight.numpy(), ql.qzeros.numpy(),
+                                 ql.scales.numpy().astype(np.float32),
+                                 ql.g_idx.numpy(), bits=BITS, dtype=jnp.float32)
+    wd = np.asarray(pl_.dequantize(jnp.float32)).T  # (N, K)
+    np.testing.assert_allclose(wd, w, atol=2e-4, rtol=1e-3)
