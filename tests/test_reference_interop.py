@@ -65,6 +65,68 @@ def test_find_params_matches_reference(ref_quantizer, sym, mse):
                                rtol=1e-5, atol=1e-7)
 
 
+@pytest.fixture(scope="module")
+def ref_gptq(ref_quantizer):
+    """Load the reference GPTQ class with its GPU-only deps stubbed."""
+    import types
+    import torch
+    torch.cuda.synchronize = lambda *a, **k: None  # CPU oracle run
+    quant_stub = types.ModuleType("quant")
+    quant_stub.Quantizer = ref_quantizer.Quantizer
+    sys.modules["quant"] = quant_stub
+    tt = types.ModuleType("texttable")
+
+    class Texttable:
+        def header(self, *a): pass
+        def set_cols_dtype(self, *a): pass
+        def add_row(self, *a): pass
+        def draw(self): return "\n"
+
+    tt.Texttable = Texttable
+    sys.modules["texttable"] = tt
+    ut = types.ModuleType("utils")
+    ut.torch_snr_error = lambda *a, **k: torch.tensor(0.0)
+    sys.modules["utils"] = ut
+    return _load_ref("ref_gptq", os.path.join(REF, "gptq.py"))
+
+
+@pytest.mark.parametrize("actorder", [False, True])
+def test_gptq_solver_matches_reference(ref_gptq, actorder):
+    """Full solver parity on identical weights/activations: scales, zeros,
+    g_idx exact; quantized weights equal up to rare round-boundary ties."""
+    import torch
+    from gptq_for_llama_tpu.quant.gptq import batch_hessian, gptq_quantize
+    from gptq_for_llama_tpu.quant.quantizer import QuantConfig
+    rng = np.random.RandomState(0)
+    K, N, GS = 64, 32, 16
+    w = rng.standard_normal((N, K)).astype(np.float32)
+    xs = rng.standard_normal((4, 8, K)).astype(np.float32)
+
+    lin = torch.nn.Linear(K, N, bias=False)
+    lin.weight.data = torch.from_numpy(w.copy())
+    g = ref_gptq.GPTQ(lin)
+    g.quantizer.configure(4, perchannel=True, sym=False, mse=False)
+    for i in range(4):
+        g.add_batch(torch.from_numpy(xs[i]), torch.zeros(1))
+    scale, zero, g_idx, err = g.fasterquant(blocksize=128, percdamp=0.01,
+                                            groupsize=GS, actorder=actorder)
+    q_ref = lin.weight.data.numpy()
+
+    h = batch_hessian(jnp.asarray(xs))
+    res = gptq_quantize(jnp.asarray(w), h, QuantConfig(bits=4), blocksize=128,
+                        percdamp=0.01, groupsize=GS, actorder=actorder)
+    np.testing.assert_allclose(np.asarray(res.scale), scale.numpy(),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(res.zero), zero.numpy(),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(res.g_idx), g_idx.numpy())
+    # per-element: allow <1% round-boundary flips from Cholesky fp ordering
+    mismatch = np.abs(np.asarray(res.qweight) - q_ref) > 1e-5
+    assert mismatch.mean() < 0.01, f"{mismatch.sum()}/{mismatch.size} differ"
+    # objective parity: our total error within 2% of the reference's
+    assert abs(float(res.error) - float(err)) <= 0.02 * float(err)
+
+
 def test_packed_buffers_match_reference(ref_quant_linear):
     """Same quantized weight packed by both implementations: byte-identical."""
     import torch
