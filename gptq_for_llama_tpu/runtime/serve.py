@@ -46,6 +46,10 @@ class _Slot:
     req: Optional[GenRequest] = None
     generated: list = dataclasses.field(default_factory=list)
     done: bool = True
+    # chunked-prefill progress (prefill_chunk mode)
+    pending: Optional[np.ndarray] = None   # chunk-padded prompt still to feed
+    ppos: int = 0                          # next chunk start
+    plen: int = 0                          # true prompt length
 
 
 def _bucket(n: int, buckets) -> int:
@@ -59,7 +63,8 @@ class ServingEngine:
     def __init__(self, arch_name: str, cfg, params, batch_slots: int = 8,
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  prefill_buckets=(32, 128, 512), paged: bool = False,
-                 block_size: int = 16, num_blocks: Optional[int] = None):
+                 block_size: int = 16, num_blocks: Optional[int] = None,
+                 prefill_chunk: Optional[int] = None):
         self.arch = get_arch(arch_name)
         self.cfg = cfg
         self.dtype = dtype
@@ -71,9 +76,21 @@ class ServingEngine:
         # block boundary (offset 0), so prefill writes whole blocks
         self.paged = paged
         self.block_size = block_size
-        self.max_blocks = -(-self.max_len // block_size)
+        # chunked prefill: at most ONE fixed-size prompt chunk per engine
+        # iteration — decode stalls are bounded by a chunk instead of a whole
+        # prompt, and every chunk shares one compiled shape
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None and paged:
+            assert prefill_chunk % block_size == 0, \
+                "prefill_chunk must be a multiple of block_size in paged mode"
+        # cache capacity must cover chunk-padded prompt writes
+        cap = self.max_len if prefill_chunk is None else \
+            -(-self.max_len // prefill_chunk) * prefill_chunk
+        self.max_blocks = -(-cap // block_size)
         self.num_blocks = num_blocks or batch_slots * self.max_blocks
         self.logical_len = self.max_blocks * block_size
+        if prefill_chunk is not None and not paged:
+            self.max_len = cap  # dense cache rows must fit padded writes
         stacked = stack_layers(params["layers"])
         self._sp = {
             "statics": {k: v for k, v in params.items() if k != "layers"},
@@ -180,6 +197,84 @@ class ServingEngine:
                                        else prefill_dense)
         return self._prefills[blen]
 
+    def _get_chunk_prefill(self):
+        """One compiled fn for every prompt chunk: runs `prefill_chunk` tokens
+        of one slot starting at cache position off0."""
+        if getattr(self, "_chunk_fn", None) is not None:
+            return self._chunk_fn
+        arch, cfg = self.arch, self.cfg
+        blen = self.prefill_chunk
+
+        def chunk_dense(sp, ids, k_cache, v_cache, slot, off0, last_idx):
+            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
+            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            offsets = off0[None]
+            positions = off0 + jnp.arange(blen)[None, :]
+            mask = decode_mask(blen, self.max_len, off0)
+            x = arch.embed(sp["statics"], cfg, ids, positions).astype(self.dtype)
+            x, kc2, vc2 = self._layers(sp, x, positions, mask, kc, vc, offsets)
+            logits = arch.head(sp["statics"], cfg, x)
+            last = jnp.take_along_axis(
+                logits, last_idx[None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc2, slot,
+                                                          axis=1)
+            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc2, slot,
+                                                          axis=1)
+            return last, k_cache, v_cache
+
+        def chunk_paged(sp, ids, k_pool, v_pool, table_row, off0, last_idx):
+            offsets = off0[None]
+            positions = off0 + jnp.arange(blen)[None, :]
+            mask = decode_mask(blen, self._kv_len(), off0)
+            x = arch.embed(sp["statics"], cfg, ids, positions).astype(self.dtype)
+            x, k_pool, v_pool = self._layers(sp, x, positions, mask, k_pool,
+                                             v_pool, offsets,
+                                             tables=table_row[None])
+            logits = arch.head(sp["statics"], cfg, x)
+            last = jnp.take_along_axis(
+                logits, last_idx[None, None, None].astype(jnp.int32),
+                axis=1)[:, 0]
+            return last, k_pool, v_pool
+
+        self._chunk_fn = jax.jit(chunk_paged if self.paged else chunk_dense)
+        return self._chunk_fn
+
+    def _prefill_tick(self, state) -> bool:
+        """Advance ONE pending slot by one chunk; True if a chunk ran."""
+        for i, slot in enumerate(self.slots):
+            if slot.pending is None:
+                continue
+            c = self.prefill_chunk
+            ids = slot.pending[slot.ppos:slot.ppos + c][None]
+            fn = self._get_chunk_prefill()
+            off0 = jnp.int32(slot.ppos)
+            last_idx = jnp.int32(max(0, min(slot.plen - 1 - slot.ppos, c - 1)))
+            if self.paged:
+                last, state["k"], state["v"] = fn(
+                    self._sp, jnp.asarray(ids), state["k"], state["v"],
+                    state["tables"][i], off0, last_idx)
+            else:
+                last, state["k"], state["v"] = fn(
+                    self._sp, jnp.asarray(ids), state["k"], state["v"],
+                    jnp.int32(i), off0, last_idx)
+            slot.ppos += c
+            if slot.ppos >= len(slot.pending):  # prompt complete: activate
+                req = slot.req
+                self._key, sub = jax.random.split(self._key)
+                tok = int(sample_logits(last, sub, req.temperature,
+                                        req.top_p)[0])
+                slot.pending = None
+                slot.generated = [tok]
+                state["host_off"][i] = slot.plen
+                state["temps"][i] = req.temperature
+                state["tops"][i] = req.top_p
+                state["toks"][i] = tok
+                state["live"][i] = True
+                state["off"] = state["off"].at[i].set(slot.plen)
+            return True
+        return False
+
     # -- scheduler -----------------------------------------------------------
 
     def submit(self, req: GenRequest):
@@ -195,7 +290,11 @@ class ServingEngine:
             if self.paged:
                 req_peek = self.queue[0]
                 plen = len(np.asarray(req_peek.prompt).reshape(-1))
-                blen_need = _bucket(plen, self.buckets)
+                if self.prefill_chunk is not None:
+                    c = self.prefill_chunk
+                    blen_need = -(-plen // c) * c  # chunk-padded writes
+                else:
+                    blen_need = _bucket(plen, self.buckets)
                 tokens = min(max(blen_need, plen + req_peek.max_new_tokens),
                              self.max_len)
                 try:
@@ -210,6 +309,20 @@ class ServingEngine:
                 state["tables"] = jnp.asarray(self._tables_np)
             req = self.queue.pop(0)
             prompt = np.asarray(req.prompt, np.int32).reshape(-1)
+            if self.prefill_chunk is not None:
+                # chunked mode: stage the prompt; _prefill_tick feeds one
+                # chunk per engine iteration while other slots keep decoding
+                c = self.prefill_chunk
+                padlen = -(-len(prompt) // c) * c
+                pending = np.zeros((padlen,), np.int32)
+                pending[:len(prompt)] = prompt
+                slot.req = req
+                slot.pending = pending
+                slot.ppos = 0
+                slot.plen = len(prompt)
+                slot.generated = []
+                slot.done = False
+                continue
             blen = _bucket(len(prompt), self.buckets)
             padded = np.zeros((1, blen), np.int32)
             padded[0, :len(prompt)] = prompt
@@ -264,6 +377,10 @@ class ServingEngine:
 
         while self.queue or any(not s.done for s in self.slots):
             self._admit(state)
+            if self.prefill_chunk is not None:
+                self._prefill_tick(state)  # at most one chunk per iteration
+                if not state["live"].any():
+                    continue  # nothing decoding yet; keep prefilling
             live_j = jnp.asarray(state["live"])
             logits, state["k"], state["v"], state["off"] = self._decode(
                 self._sp, jnp.asarray(state["toks"][:, None]), state["k"],

@@ -71,6 +71,32 @@ def test_paged_serving_matches_dense():
                                       err_msg=f"request {uid}")
 
 
+def test_chunked_prefill_matches_whole_prompt():
+    """prefill_chunk mode (dense and paged): identical greedy outputs."""
+    cfg, params = _setup()
+    prompts = [np.arange(1, 12, dtype=np.int32),      # 11 tokens: 2 chunks
+               np.array([5, 6], np.int32),            # shorter than one chunk
+               np.arange(3, 20, dtype=np.int32)]      # 17 tokens: 3 chunks
+
+    def run(**kw):
+        eng = ServingEngine("llama", cfg, params, batch_slots=2,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(32,), **kw)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=4,
+                                  temperature=0.0))
+        return eng.run()
+
+    base = run()
+    chunked = run(prefill_chunk=8)
+    chunked_paged = run(prefill_chunk=8, paged=True, block_size=8)
+    for uid in base:
+        np.testing.assert_array_equal(chunked[uid], base[uid],
+                                      err_msg=f"dense chunked, request {uid}")
+        np.testing.assert_array_equal(chunked_paged[uid], base[uid],
+                                      err_msg=f"paged chunked, request {uid}")
+
+
 def test_serving_eos_frees_slot():
     cfg, params = _setup()
     engine = ServingEngine("llama", cfg, params, batch_slots=2,
