@@ -166,10 +166,12 @@ def main():
     toks, c2 = runner.decode_greedy_scan(tok, cache, steps)  # compile
     np.asarray(toks)
     stage(f"decode scan ({steps} steps) compiled + ran")
-    t0 = time.perf_counter()
-    toks, _ = runner.decode_greedy_scan(tok, cache, steps)
-    np.asarray(toks)  # host readback = true completion on the relay
-    dt = (time.perf_counter() - t0) / steps
+    dt = np.inf
+    for _ in range(3):  # best-of-3 against relay jitter
+        t0 = time.perf_counter()
+        toks, _ = runner.decode_greedy_scan(tok, cache, steps)
+        np.asarray(toks)  # host readback = true completion on the relay
+        dt = min(dt, (time.perf_counter() - t0) / steps)
     tok_s = 1.0 / dt
     stage(f"timed: {dt * 1e3:.2f} ms/token")
 
