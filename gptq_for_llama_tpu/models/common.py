@@ -200,6 +200,43 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     return out
 
 
+def row_parallel_apply(lin, x, tp_ctx):
+    """Apply a row-parallel (input-sharded) linear under shard_map TP.
+
+    tp_ctx: None (no TP — plain apply) or (axis_name, tp). Inside shard_map the
+    activation x arrives sharded on its last dim (attention heads / ffn width)
+    and `lin` holds the local shard of a weight sharded on in-features; the
+    partial products are psum'ed over the tp axis and the (replicated) bias is
+    added once afterwards (reference equivalent: the o_proj/down_proj side of
+    Megatron TP replacing llama.py:328-382's layer placement).
+
+    Act-order / K-padded packed weights carry a device-row index map in `perm`
+    (parallel/tp_model.prepare_tp_params): the activation is all-gathered and
+    each shard takes its own device rows.
+    """
+    import dataclasses
+    from ..ops.linear import PackedLinear, linear_apply
+
+    if tp_ctx is None:
+        return linear_apply(lin, x)
+    axis, _tp = tp_ctx
+    if isinstance(lin, PackedLinear):
+        local = lin
+        if lin.perm is not None:
+            xg = jax.lax.all_gather(x, axis, axis=x.ndim - 1, tiled=True)
+            x = jnp.take(xg, lin.perm, axis=-1)
+            local = dataclasses.replace(lin, perm=None)
+        bias = lin.bias
+        if bias is not None:
+            local = dataclasses.replace(local, bias=None)
+        y = jax.lax.psum(linear_apply(local, x), axis)
+        return y if bias is None else y + bias
+    bias = lin.get("bias")
+    y = jnp.matmul(x, lin["kernel"].astype(x.dtype))
+    y = jax.lax.psum(y, axis)
+    return y if bias is None else y + bias.astype(y.dtype)
+
+
 def activation(name: str):
     return {"silu": jax.nn.silu, "relu": jax.nn.relu, "gelu": jax.nn.gelu,
             "gelu_new": jax.nn.gelu, "gelu_fast": jax.nn.gelu}[name]

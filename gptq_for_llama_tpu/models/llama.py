@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (activation, apply_kv_cache, apply_rope, causal_mask,
-                     rms_norm, rope_cos_sin, sdpa)
+                     rms_norm, rope_cos_sin, row_parallel_apply, sdpa)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -85,7 +85,8 @@ def step_rope(cfg: ModelConfig, positions, dtype):
     return rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, dtype=dtype)
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
+          tp_ctx=None):
     """One decoder layer. x: (B, S, H). Returns (y, taps, present_kv).
 
     past_kv: None (plain causal forward) or (cache_k, cache_v, offset) — a
@@ -93,7 +94,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     updated (cache_k, cache_v). rope: optional precomputed (cos, sin) from
     step_rope. taps maps each linear's dotted name to the activation feeding
     it — the functional replacement for the reference's forward hooks
-    (llama.py:98-107).
+    (llama.py:98-107). tp_ctx: (axis, tp) inside shard_map tensor parallelism
+    (cfg is then the LOCAL per-shard config; o_proj/down_proj psum over tp).
     """
     h_attn_in = rms_norm(x, lp["input_layernorm"], cfg.norm_eps)
     att = lp["self_attn"]
@@ -116,14 +118,14 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
     attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
                     causal=past_kv is None).reshape(b, s, -1)
-    o = linear_apply(att["o_proj"], attn_out)
+    o = row_parallel_apply(att["o_proj"], attn_out, tp_ctx)
     x = x + o
 
     h_mlp_in = rms_norm(x, lp["post_attention_layernorm"], cfg.norm_eps)
     mlp = lp["mlp"]
     from ..ops.quant_matmul import fused_gate_up  # fused Pallas path when packed
     h_down_in = fused_gate_up(mlp["gate_proj"], mlp["up_proj"], h_mlp_in, cfg.act)
-    down = linear_apply(mlp["down_proj"], h_down_in)
+    down = row_parallel_apply(mlp["down_proj"], h_down_in, tp_ctx)
     y = x + down
 
     taps = {

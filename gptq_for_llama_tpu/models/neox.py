@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 
 from .common import (activation, apply_kv_cache, apply_rope, causal_mask,
-                     layer_norm, rope_cos_sin, sdpa)
+                     layer_norm, rope_cos_sin, sdpa, row_parallel_apply)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -69,7 +69,8 @@ def step_rope(cfg: ModelConfig, positions, dtype):
     return rope_cos_sin(positions, rotary_dim, cfg.rope_theta, dtype=dtype)
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
+          tp_ctx=None):
     b, s, _ = x.shape
     hd = cfg.head_dim
     ln1 = layer_norm(x, lp["input_layernorm"]["w"], lp["input_layernorm"]["b"], cfg.norm_eps)
@@ -84,14 +85,14 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
     attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
                     causal=past_kv is None).reshape(b, s, -1)
-    attn_out_proj = linear_apply(lp["attention"]["dense"], attn_out)
+    attn_out_proj = row_parallel_apply(lp["attention"]["dense"], attn_out, tp_ctx)
 
     if cfg.parallel_residual:
         ln2 = layer_norm(x, lp["post_attention_layernorm"]["w"],
                          lp["post_attention_layernorm"]["b"], cfg.norm_eps)
         h4 = linear_apply(lp["mlp"]["dense_h_to_4h"], ln2)
         act_out = activation(cfg.act)(h4)
-        mlp_out = linear_apply(lp["mlp"]["dense_4h_to_h"], act_out)
+        mlp_out = row_parallel_apply(lp["mlp"]["dense_4h_to_h"], act_out, tp_ctx)
         y = x + attn_out_proj + mlp_out
     else:
         attn_res = x + attn_out_proj
@@ -99,7 +100,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
                          lp["post_attention_layernorm"]["b"], cfg.norm_eps)
         h4 = linear_apply(lp["mlp"]["dense_h_to_4h"], ln2)
         act_out = activation(cfg.act)(h4)
-        mlp_out = linear_apply(lp["mlp"]["dense_4h_to_h"], act_out)
+        mlp_out = row_parallel_apply(lp["mlp"]["dense_4h_to_h"], act_out, tp_ctx)
         y = attn_res + mlp_out
 
     taps = {

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_kv_cache, causal_mask, layer_norm, sdpa)
+from .common import (activation, apply_kv_cache, causal_mask, layer_norm, sdpa, row_parallel_apply)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -80,7 +80,8 @@ def step_rope(cfg: ModelConfig, positions, dtype):
     return None  # OPT uses learned position embeddings (no rotary)
 
 
-def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
+def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
+          tp_ctx=None):
     b, s, _ = x.shape
     residual = x
     h = layer_norm(x, lp["self_attn_layer_norm"]["w"], lp["self_attn_layer_norm"]["b"],
@@ -92,7 +93,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
     k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
     attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
                     causal=past_kv is None).reshape(b, s, -1)
-    o = linear_apply(att["out_proj"], attn_out)
+    o = row_parallel_apply(att["out_proj"], attn_out, tp_ctx)
     x = residual + o
     if not cfg.do_layer_norm_before:
         x = layer_norm(x, lp["self_attn_layer_norm"]["w"], lp["self_attn_layer_norm"]["b"],
@@ -103,7 +104,7 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None):
                     cfg.norm_eps) if cfg.do_layer_norm_before else x
     fc1_out = linear_apply(lp["fc1"], h2)
     act_out = activation(cfg.act)(fc1_out)
-    fc2_out = linear_apply(lp["fc2"], act_out)
+    fc2_out = row_parallel_apply(lp["fc2"], act_out, tp_ctx)
     y = residual + fc2_out
     if not cfg.do_layer_norm_before:
         y = layer_norm(y, lp["final_layer_norm"]["w"], lp["final_layer_norm"]["b"],

@@ -106,6 +106,12 @@ def _pick_block(dim: int, preferred: int, align: int) -> int:
 # VMEM budget for one qweight tile (x2 double buffering happens outside)
 _QW_TILE_BYTES = 4 * 1024 * 1024
 
+# Decode is per-grid-step overhead bound (~300-450 ns/step on v5e through this
+# environment), NOT bandwidth bound: measured qkv 4096x12288 int4 went from
+# 463 GB/s at 128 KB tiles to 755 GB/s (92% of the 819 GB/s peak) at 512 KB
+# tiles (scripts/kbench_sweep.py). Target ~512 KB qweight tiles.
+_TARGET_TILE = 512 * 1024
+
 
 def _tile_plan(k: int, n: int, groupsize: int, bits: int):
     """Returns (bk, groups_per_tile) or None if unsupported."""
@@ -116,6 +122,35 @@ def _tile_plan(k: int, n: int, groupsize: int, bits: int):
     if (k * bits // 32) * 256 * 4 <= _QW_TILE_BYTES * 2:
         return k, g
     return None
+
+
+def _best_blocks(k: int, n: int, groupsize: int, bits: int,
+                 n_weights: int = 1):
+    """(groups_per_tile, bn) minimizing |per-step weight traffic - _TARGET_TILE|.
+
+    n_weights: packed streams fetched per grid step (2 for the fused gate/up
+    MLP kernel). Mosaic constraint: the (gpt, bn) scale block's sublane dim
+    must be a multiple of 8 (or the full G, handled by the _tile_plan full-K
+    fallback).
+    """
+    g = k // groupsize
+    best = None
+    for bg in (8, 16, 32):
+        if g % bg:
+            continue
+        rows = bg * groupsize * bits // 32
+        for bn in (2048, 1024, 512, 256, 128):
+            if n % bn:
+                continue
+            tile = rows * bn * 4 * n_weights
+            if tile > _QW_TILE_BYTES:
+                continue
+            score = abs(tile - _TARGET_TILE)
+            if best is None or score < best[0]:
+                best = (score, bg, bn)
+    if best is None:
+        return None
+    return best[1], best[2]
 
 
 def supports(lin: PackedLinear) -> bool:
@@ -137,12 +172,15 @@ def supports(lin: PackedLinear) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "block_n", "block_groups"))
 def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
-            out_dtype=jnp.bfloat16, interpret: bool = False):
+            out_dtype=jnp.bfloat16, interpret: bool = False,
+            block_n: int | None = None, block_groups: int | None = None):
     """y = x @ dequant(qweight): x (M, K) -> (M, N). M must be 8-aligned.
 
     zeros_scaled = zeros * scales (precomputed outside; see _qmm_kernel).
+    block_n / block_groups override the static tile plan (benchmarks/tuning);
+    block_groups must keep the scale block a multiple of 8 rows or the full G.
     """
     m, k = x.shape
     n = qweight.shape[1]
@@ -151,8 +189,19 @@ def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
     plan = _tile_plan(k, n, groupsize, bits)
     assert plan is not None, "caller must check supports()"
     bk, gpt = plan
+    bn = None
+    if gpt != g:  # tiled plan: widen toward the overhead-optimal tile size
+        tuned = _best_blocks(k, n, groupsize, bits)
+        if tuned is not None:
+            gpt, bn = tuned
+            bk = gpt * groupsize
+    if block_groups is not None and k % (block_groups * groupsize) == 0:
+        gpt = block_groups
+        bk = block_groups * groupsize
     bm = _pick_block(m, 256, 8)
-    bn = _pick_block(n, 256, 128)
+    if block_n is not None:
+        bn = block_n
+    bn = _pick_block(n, bn or 256, 128)
 
     grid = (m // bm, n // bn, k // bk)
     kernel = functools.partial(_qmm_kernel, bits=bits, groupsize=groupsize,

@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..linear import PackedLinear
-from .matmul import _pick_block, _tile_plan, _unpack_rows, supports
+from .matmul import _best_blocks, _pick_block, _tile_plan, _unpack_rows, supports
 
 
 def _fused_kernel(x_ref, qg_ref, sg_ref, zg_ref, qu_ref, su_ref, zu_ref,
@@ -66,8 +66,14 @@ def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
     m, k = x.shape
     n = qg.shape[1]
     bk, gpt = _tile_plan(k, n, groupsize, bits)
+    bn = None
+    if gpt != k // groupsize:  # widen toward the overhead-optimal tile size
+        tuned = _best_blocks(k, n, groupsize, bits, n_weights=2)
+        if tuned is not None:
+            gpt, bn = tuned
+            bk = gpt * groupsize
     bm = _pick_block(m, 256, 8)
-    bn = _pick_block(n, 256, 128)
+    bn = _pick_block(n, bn or 256, 128)
     grid = (m // bm, n // bn, k // bk)
     kernel = functools.partial(_fused_kernel, bits=bits, groupsize=groupsize,
                                groups_per_tile=gpt, out_dtype=out_dtype)

@@ -1,0 +1,211 @@
+"""Whole-model shard_map tensor parallelism: Pallas kernels on local TP shards.
+
+Under plain jit, XLA's SPMD partitioner shards the XLA dequant path but cannot
+partition a `pallas_call`, so TP-sharded models silently lose the fused
+kernels (PARITY.md known-gap #1).  This module runs the ENTIRE model step
+(embed -> scanned layers -> head) inside ONE `shard_map` region:
+
+- every device executes the step on its LOCAL parameter shard with a LOCAL
+  ModelConfig (num_heads/tp, num_kv_heads/tp), so the fused dequant-matmul /
+  attention Pallas kernels run unmodified per shard;
+- the two row-parallel projections per layer (o_proj/down_proj and their
+  opt/neox equivalents) psum over the tp axis — the Megatron pattern the
+  reference's layer-round-robin placement (reference: llama.py:328-382) is
+  replaced by (SURVEY.md §7 step 6);
+- the KV cache is sharded over heads, the lm_head over vocab; batch is
+  sharded over the dp axis.
+
+Act-order / K-padded row-parallel weights: the device row order of a packed
+row-parallel weight is the group-sorted (permuted, possibly K-padded) order,
+which no longer matches the natural activation layout once sharded.
+`prepare_tp_params` rewrites such a linear's `perm` into a device-row index
+map of length k_padded; inside the shard each device all-gathers the (small)
+activation and takes its own rows (pad rows read a clamped index — their
+codes and zero-points are 0, so they contribute exactly nothing under
+dot-then-scale).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .sharding import TP_RULES
+from ..ops.linear import PackedLinear
+
+__all__ = ["local_config", "prepare_tp_params", "step_specs",
+           "localize_layer_aux", "tp_shardings"]
+
+
+def local_config(cfg, tp: int):
+    """The per-shard view of the model: heads and ffn width divided by tp."""
+    if cfg.num_heads % tp or cfg.num_kv_heads % tp:
+        raise ValueError(
+            f"tp={tp} must divide num_heads={cfg.num_heads} and "
+            f"num_kv_heads={cfg.num_kv_heads}")
+    return dataclasses.replace(
+        cfg, num_heads=cfg.num_heads // tp,
+        num_kv_heads=cfg.num_kv_heads // tp,
+        intermediate_size=cfg.intermediate_size // tp)
+
+
+# ---------------------------------------------------------------------------
+# host-side preparation
+# ---------------------------------------------------------------------------
+
+def _prepare_row_linear(lin: PackedLinear, tp: int) -> PackedLinear:
+    """Make a row-parallel PackedLinear shardable on its device-row axis."""
+    k, kp = lin.in_features, lin.k_padded
+    g = lin.scales.shape[0]
+    if (lin.qweight.shape[0] % tp) or (g % tp):
+        raise ValueError(
+            f"row-parallel: packed rows {lin.qweight.shape[0]} and groups {g} "
+            f"must divide tp={tp}")
+    if lin.perm is None and kp == k:
+        return lin  # natural order, no padding: direct row sharding
+    base = np.asarray(lin.perm) if lin.perm is not None else np.arange(k)
+    rowmap = np.concatenate(
+        [base, np.full(kp - k, k - 1)]).astype(np.int32)  # pad rows: clamped
+    return dataclasses.replace(lin, perm=jnp.asarray(rowmap))
+
+
+def _walk_linears(arch_name: str, layer_tree: dict, fn) -> dict:
+    """Apply fn(lin, mode) to every TP-ruled linear of one layer tree (copy)."""
+    from ..engine.quantize import get_path, set_path  # cycle-free late import
+
+    new = jax.tree_util.tree_map(lambda x: x, layer_tree)
+    for name, mode in TP_RULES[arch_name].items():
+        try:
+            lin = get_path(new, name)
+        except (KeyError, TypeError):
+            continue
+        set_path(new, name, fn(lin, mode))
+    return new
+
+
+def prepare_tp_params(arch_name: str, params: dict, tp: int) -> dict:
+    """Host-side transform before stacking/sharding for the shard_map runner.
+
+    Returns a new params tree whose row-parallel packed linears carry a
+    device-row index map (see module docstring). Fused qkv projections are not
+    supported here (their concat N layout does not split into whole heads);
+    build the runner from unfused checkpoints for shard_map TP.
+    """
+    def prep(lin, mode):
+        if isinstance(lin, PackedLinear) and mode == "row":
+            return _prepare_row_linear(lin, tp)
+        return lin
+
+    out = {k: v for k, v in params.items()}
+    new_layers = []
+    for lp in params["layers"]:
+        if "self_attn" in lp and "qkv_proj" in lp.get("self_attn", {}):
+            raise ValueError("shard_map TP requires unfused q/k/v projections")
+        new_layers.append(_walk_linears(arch_name, lp, prep))
+    out["layers"] = new_layers
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PartitionSpec trees
+# ---------------------------------------------------------------------------
+
+def _lin_specs(lin, mode: str, axis: str, lead: int):
+    """Spec tree for one linear (PackedLinear or dense dict); `lead` extra
+    leading (stacked-layer) dims are replicated."""
+    L = (None,) * lead
+    if isinstance(lin, PackedLinear):
+        if mode == "col":
+            spec2 = P(*L, None, axis)
+            return dataclasses.replace(
+                lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
+                g_idx=P(*L, None),
+                perm=None if lin.perm is None else P(*L, None),
+                bias=None if lin.bias is None else P(*L, axis))
+        spec2 = P(*L, axis, None)
+        return dataclasses.replace(
+            lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
+            g_idx=P(*L, None),
+            perm=None if lin.perm is None else P(*L, axis),
+            bias=None if lin.bias is None else P(*L, None))
+    # dense dict
+    out = {}
+    for key in lin:
+        if key == "kernel":
+            out[key] = P(*L, None, axis) if mode == "col" else P(*L, axis, None)
+        elif key == "bias":
+            out[key] = P(*L, axis) if mode == "col" else P(*L, None)
+        else:
+            out[key] = P()
+    return out
+
+
+def _replicated(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+def step_specs(arch_name: str, sp: dict, axis: str = "tp") -> dict:
+    """PartitionSpec tree matching the runner's step-params dict
+    ({'statics': ..., 'stacked': ..., 'layers': None})."""
+    statics_spec = {}
+    for key, val in sp["statics"].items():
+        if key in ("lm_head", "embed_out"):
+            statics_spec[key] = _lin_specs(val, "col", axis, lead=0)
+        else:
+            statics_spec[key] = _replicated(val)
+    if sp["stacked"] is None:
+        raise ValueError("shard_map TP needs homogeneous (stackable) layers")
+    from ..engine.quantize import get_path, set_path
+    stacked_spec = jax.tree_util.tree_map(lambda _: P(), sp["stacked"])
+    for name, mode in TP_RULES[arch_name].items():
+        try:
+            lin = get_path(sp["stacked"], name)
+        except (KeyError, TypeError):
+            continue
+        set_path(stacked_spec, name, _lin_specs(lin, mode, axis, lead=1))
+    return {"statics": statics_spec, "stacked": stacked_spec, "layers": None}
+
+
+def localize_layer_aux(arch_name: str, tree: dict, tp: int) -> dict:
+    """Trace-time aux fix inside shard_map: PackedLinear leaves arrive holding
+    LOCAL shards but global static dims; rewrite col out_features and row
+    in_features to the per-shard values (array shapes are authoritative)."""
+    def fix(lin, mode):
+        if not isinstance(lin, PackedLinear):
+            return lin
+        if mode == "col":
+            return dataclasses.replace(lin,
+                                       out_features=lin.out_features // tp)
+        # row: local contraction = local device rows (perm/padding handled by
+        # row_parallel_apply); in_features must match what the kernel sees
+        kp_local = lin.qweight.shape[-2] * 32 // lin.bits
+        return dataclasses.replace(lin, in_features=kp_local)
+
+    return _walk_linears(arch_name, tree, fix)
+
+
+# ---------------------------------------------------------------------------
+# device placement matching step_specs (so shard_map does not reshard)
+# ---------------------------------------------------------------------------
+
+def tp_shardings(mesh: Mesh, spec_tree):
+    """NamedSharding tree from a PartitionSpec tree (None leaves preserved)."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), spec_tree,
+        is_leaf=lambda x: isinstance(x, P))
+
+
+def place_step_params(sp: dict, mesh: Mesh, specs: dict) -> dict:
+    """device_put every leaf of the step-params dict per its spec."""
+    flat_sp, treedef = jax.tree_util.tree_flatten(sp)
+    flat_spec = jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(flat_sp) == len(flat_spec), "spec tree mismatch"
+    placed = [jax.device_put(x, NamedSharding(mesh, s))
+              for x, s in zip(flat_sp, flat_spec)]
+    return jax.tree_util.tree_unflatten(treedef, placed)

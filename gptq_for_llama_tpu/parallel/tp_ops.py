@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops.linear import PackedLinear
 from ..ops.quant_matmul import quant_matmul as _quant_matmul
@@ -74,7 +74,7 @@ def tp_quant_matmul(x, lin: PackedLinear, mesh: Mesh, mode: str,
             f, mesh=mesh,
             in_specs=(P(), _lin_specs(lin, "col", axis)),
             out_specs=P(*(None,) * (x.ndim - 1), axis),
-            check_rep=False)(x, lin)
+            check_vma=False)(x, lin)
 
     if mode == "row":
         def f(xl, linl):
@@ -92,6 +92,6 @@ def tp_quant_matmul(x, lin: PackedLinear, mesh: Mesh, mode: str,
             in_specs=(P(*(None,) * (x.ndim - 1), axis),
                       _lin_specs(lin, "row", axis)),
             out_specs=P(),
-            check_rep=False)(x, lin)
+            check_vma=False)(x, lin)
 
     raise ValueError(mode)

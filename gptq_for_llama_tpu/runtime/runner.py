@@ -61,17 +61,35 @@ jax.tree_util.register_pytree_node(
 
 
 class ModelRunner:
-    """Owns jitted prefill/decode for one (model, batch, max_len) configuration."""
+    """Owns jitted prefill/decode for one (model, batch, max_len) configuration.
+
+    mesh + shard_map_tp=True runs every step inside ONE shard_map region
+    (parallel/tp_model): the Pallas kernels execute on each device's local
+    tensor-parallel shard with explicit psums after o_proj/down_proj — the
+    jit-only path would silently fall back to the XLA dequant matmul because
+    SPMD cannot partition a pallas_call. Batch is sharded over the dp axis.
+    """
 
     def __init__(self, arch_name: str, cfg, params, batch_size: int = 1,
-                 max_seq_len: Optional[int] = None, dtype=jnp.bfloat16):
+                 max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
+                 mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
+                 dp_axis: str = "dp"):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
-        self.params = params
         self.batch = batch_size
         self.max_len = max_seq_len or cfg.max_seq_len
         self.dtype = dtype
+        self._tp = None
+        if mesh is not None and shard_map_tp:
+            from ..parallel import tp_model
+            tp = mesh.shape[tp_axis]
+            dp = mesh.shape.get(dp_axis, 1)
+            assert batch_size % max(dp, 1) == 0, "batch must divide dp"
+            params = tp_model.prepare_tp_params(arch_name, params, tp)
+            self._tp = {"mesh": mesh, "axis": tp_axis, "dp_axis": dp_axis,
+                        "tp": tp, "cfg_local": tp_model.local_config(cfg, tp)}
+        self.params = params
         self.stacked = stack_layers(params["layers"])
         # everything the jitted step reads must be an ARGUMENT, not a closure
         # capture — closed-over arrays get baked into the program as constants
@@ -81,20 +99,29 @@ class ModelRunner:
             "stacked": self.stacked,
             "layers": None if self.stacked is not None else params["layers"],
         }
+        if self._tp is not None:
+            from ..parallel import tp_model
+            self._sp_specs = tp_model.step_specs(arch_name, self._step_params,
+                                                 tp_axis)
+            self._step_params = tp_model.place_step_params(
+                self._step_params, mesh, self._sp_specs)
         self._prefill_cache: dict[int, callable] = {}
         self._decode = jax.jit(self._step_fn(1))
         self._decode_scan_cache: dict[int, callable] = {}
 
     # -- model step ---------------------------------------------------------
 
-    def _scan_layers(self, sp, x, positions, mask, cache: KVCache, rope):
-        arch, cfg = self.arch, self.cfg
+    def _scan_layers(self, sp, x, positions, mask, cache: KVCache, rope,
+                     cfg=None, tp_ctx=None):
+        arch = self.arch
+        cfg = cfg or self.cfg
         if sp["stacked"] is not None:
             def body(carry, layer_in):
                 xc = carry
                 lp, ck, cv = layer_in
                 y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
-                                              (ck, cv, cache.offset), rope=rope)
+                                              (ck, cv, cache.offset), rope=rope,
+                                              tp_ctx=tp_ctx)
                 return y, (ck2, cv2)
 
             x, (k_new, v_new) = jax.lax.scan(
@@ -105,30 +132,74 @@ class ModelRunner:
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
                                         (cache.k[li], cache.v[li], cache.offset),
-                                        rope=rope)
+                                        rope=rope, tp_ctx=tp_ctx)
             ks.append(k2)
             vs.append(v2)
         return x, KVCache(jnp.stack(ks), jnp.stack(vs), cache.offset)
 
+    def _cache_specs(self):
+        from jax.sharding import PartitionSpec as P
+        t = self._tp
+        kv = P(None, t["dp_axis"], None, t["axis"], None)
+        return KVCache(kv, kv, P())
+
     def _step_fn(self, s: int):
         arch, cfg = self.arch, self.cfg
 
-        def step(sp, ids, cache: KVCache):
+        if self._tp is None:
+            def step(sp, ids, cache: KVCache):
+                statics = sp["statics"]
+                positions = cache.offset + jnp.arange(s)[None, :]
+                mask = decode_mask(s, self.max_len, cache.offset)
+                rope = arch.step_rope(cfg, positions, self.dtype)
+                x = arch.embed(statics, cfg, ids, positions).astype(self.dtype)
+                x, cache = self._scan_layers(sp, x, positions, mask, cache, rope)
+                logits = arch.head(statics, cfg, x)
+                cache = KVCache(cache.k, cache.v, cache.offset + s)
+                return logits, cache
+
+            return step
+
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+        from ..parallel import tp_model
+        t = self._tp
+        cfg_l, axis, tp = t["cfg_local"], t["axis"], t["tp"]
+
+        def step_local(sp, ids, cache: KVCache):
+            sp = dict(sp)
+            sp["stacked"] = tp_model.localize_layer_aux(self.arch_name,
+                                                        sp["stacked"], tp)
             statics = sp["statics"]
             positions = cache.offset + jnp.arange(s)[None, :]
             mask = decode_mask(s, self.max_len, cache.offset)
-            rope = arch.step_rope(cfg, positions, self.dtype)
-            x = arch.embed(statics, cfg, ids, positions).astype(self.dtype)
-            x, cache = self._scan_layers(sp, x, positions, mask, cache, rope)
-            logits = arch.head(statics, cfg, x)
+            rope = arch.step_rope(cfg_l, positions, self.dtype)
+            x = arch.embed(statics, cfg_l, ids, positions).astype(self.dtype)
+            x, cache = self._scan_layers(sp, x, positions, mask, cache, rope,
+                                         cfg=cfg_l, tp_ctx=(axis, tp))
+            logits = arch.head(statics, cfg_l, x)
             cache = KVCache(cache.k, cache.v, cache.offset + s)
             return logits, cache
 
-        return step
+        cache_specs = self._cache_specs()
+        return shard_map(
+            step_local, mesh=t["mesh"],
+            in_specs=(self._sp_specs, P(t["dp_axis"], None), cache_specs),
+            out_specs=(P(t["dp_axis"], None, axis), cache_specs),
+            check_vma=False)
 
     def init_cache(self) -> KVCache:
-        return KVCache.zeros(self.cfg, len(self.params["layers"]), self.batch,
-                             self.max_len, self.dtype)
+        cache = KVCache.zeros(self.cfg, len(self.params["layers"]), self.batch,
+                              self.max_len, self.dtype)
+        if self._tp is not None:
+            from jax.sharding import NamedSharding
+            specs = self._cache_specs()
+            cache = KVCache(
+                jax.device_put(cache.k, NamedSharding(self._tp["mesh"], specs.k)),
+                jax.device_put(cache.v, NamedSharding(self._tp["mesh"], specs.v)),
+                jax.device_put(cache.offset,
+                               NamedSharding(self._tp["mesh"], specs.offset)))
+        return cache
 
     def prefill(self, ids, cache: KVCache):
         """ids: (B, S) — prompt pass. Compiles per distinct S (bucket ladder)."""
