@@ -3,8 +3,15 @@
 The decode-path analog of the reference's fused attention module
 (reference: quant/fused_attn.py:117-161 — fused QKV + in-place RoPE + SDPA).
 RoPE and the cache write stay in XLA (they fuse well); this kernel fuses the
-part XLA splits into ~8 ops per layer: masked q·K^T, softmax, and probs·V —
-one kernel per decode step per layer, reading each cache slot once.
+part XLA splits into ~8 ops per layer: masked q·K^T, softmax, and probs·V.
+
+Bandwidth design: the cache is blocked along the sequence axis and the KV
+block index map CLAMPS to the last live block (scalar-prefetched per-row
+offsets) — grid steps past the live prefix map to the same block index, and
+Pallas skips the DMA for a block that is already resident. Cache HBM traffic
+is therefore proportional to the LIVE context, not to max_len (a full-length
+static cache would otherwise cost e.g. 32 MB/layer/step for 7B at 2048).
+Softmax is accumulated online (flash-style m/l rescaling) across seq blocks.
 
 Supports per-row cache offsets (continuous batching). Prefill keeps the XLA
 softmax path (models/common.sdpa) — it is MXU-bound and fuses fine.
@@ -19,22 +26,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+_SEQ_BLOCK = 256
 
-def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    off = off_ref[0]
-    q = q_ref[0].astype(jnp.float32)            # (Ht, D)
-    k = k_ref[0]                                 # (S, Ht, D)
-    v = v_ref[0]
-    s = k.shape[0]
-    logits = jnp.sum(q[None, :, :] * k.astype(jnp.float32), axis=-1) * scale
-    kj = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0)  # (S, Ht)
-    logits = jnp.where(kj <= off, logits, -jnp.inf)
-    m = jnp.max(logits, axis=0, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=0, keepdims=True)
-    w = (p / denom).astype(jnp.float32)          # (S, Ht)
-    out = jnp.sum(w[:, :, None] * v.astype(jnp.float32), axis=0)  # (Ht, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+
+def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                 *, scale: float, seq_block: int):
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    off = off_ref[bi]
+
+    @pl.when(si == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    base = si * seq_block
+
+    @pl.when(base <= off)
+    def _():
+        q = q_ref[0].astype(jnp.float32)             # (Ht, D)
+        k = k_ref[0].astype(jnp.float32)             # (BS, Ht, D)
+        v = v_ref[0].astype(jnp.float32)
+        logits = jnp.sum(q[None, :, :] * k, axis=-1) * scale     # (BS, Ht)
+        kj = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + base
+        logits = jnp.where(kj <= off, logits, -jnp.inf)
+        m_blk = jnp.max(logits, axis=0)                          # (Ht,)
+        m_old = m_ref[0]                                         # (Ht,)
+        m_new = jnp.maximum(m_old, m_blk)
+        # renormalize previous accumulation to the new max
+        corr = jnp.exp(m_old - m_new)                            # (Ht,)
+        p = jnp.exp(logits - m_new[None, :])                     # (BS, Ht)
+        l_ref[0] = l_ref[0] * corr + jnp.sum(p, axis=0)
+        acc_ref[:] = acc_ref[:] * corr[:, None] \
+            + jnp.sum(p[:, :, None] * v, axis=0)                 # (Ht, D)
+        m_ref[0] = m_new
+
+    @pl.when(si == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
 def supports_decode_attention(q_len: int, num_heads: int, num_kv_heads: int,
@@ -54,27 +84,35 @@ def decode_attention(q, k_cache, v_cache, offset, scale: float,
     b, _, h, d = q.shape
     s = k_cache.shape[1]
     ht = 16 if h % 16 == 0 else 8
+    bs = _SEQ_BLOCK if s % _SEQ_BLOCK == 0 else s
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
 
-    grid = (b, h // ht)
+    def kv_map(bi, hi, si, off_ref):
+        # clamp to the last live block: steps past the prefix revisit it and
+        # Pallas elides the DMA for an already-resident block
+        sb = jnp.minimum(si, off_ref[bi] // bs)
+        return (bi, sb, hi, 0)
+
+    grid = (b, h // ht, s // bs)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1,), lambda bi, hi: (bi,),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, ht, d), lambda bi, hi: (bi, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, ht, d), lambda bi, hi: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s, ht, d), lambda bi, hi: (bi, 0, hi, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, ht, d), lambda bi, hi: (bi, hi, 0),
-                               memory_space=pltpu.VMEM),
+        functools.partial(_attn_kernel, scale=scale, seq_block=bs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, ht, d), lambda bi, hi, si, off: (bi, hi, 0)),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, ht, d),
+                                   lambda bi, hi, si, off: (bi, hi, 0)),
+            scratch_shapes=[pltpu.VMEM((ht, d), jnp.float32),
+                            pltpu.VMEM((1, ht), jnp.float32),
+                            pltpu.VMEM((1, ht), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=interpret,
     )(offs, q.reshape(b, h, d), k_cache, v_cache)
     return out.reshape(b, 1, h, d)

@@ -163,3 +163,21 @@ def test_qmm_3bit_kernel(m):
     # wire round-trip preserves the original 3-bit buffers
     wire = lin.to_wire()
     assert wire["qweight"].shape == (k * 3 // 32, n)
+
+
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_qmm_single_group(bits):
+    """groupsize=-1 semantics: ONE group spanning all of K (the reference's
+    --groupsize -1 default, llama.py:459) takes the full-K tile plan (scale
+    block = full G rows) instead of the XLA fallback."""
+    k, n = 256, 128
+    lin = _random_packed(k, n, bits, groupsize=k, seed=bits + 10)
+    assert lin.scales.shape[0] == 1
+    assert lin.layout == "tpu"
+    assert pmm.supports(lin)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.standard_normal((4, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
