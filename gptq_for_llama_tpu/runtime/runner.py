@@ -43,14 +43,23 @@ def stack_layers(layers: list):
 
 @dataclasses.dataclass
 class KVCache:
-    k: jax.Array  # (L, B, max_len, Hkv, D)
-    v: jax.Array
+    k: jax.Array  # (L, B, max_len, Hkv, D) — or a length-L tuple of
+    v: jax.Array  # (B, max_len, Hkv, D) arrays in unrolled-layers mode
     offset: jax.Array  # scalar int32: number of valid tokens
 
     @classmethod
-    def zeros(cls, cfg, num_layers: int, batch: int, max_len: int, dtype):
-        shape = (num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+    def zeros(cls, cfg, num_layers: int, batch: int, max_len: int, dtype,
+              unrolled: bool = False):
+        shape = (batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+        if unrolled:
+            # per-layer leaves: layers index their cache by PYTHON tuple index
+            # (no device slice/stack — slices of big arguments materialize
+            # copies before Pallas operands; see scripts/decomp.py findings)
+            return cls(tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+                       tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+                       jnp.zeros((), jnp.int32))
+        full = (num_layers,) + shape
+        return cls(jnp.zeros(full, dtype), jnp.zeros(full, dtype),
                    jnp.zeros((), jnp.int32))
 
 
@@ -73,7 +82,7 @@ class ModelRunner:
     def __init__(self, arch_name: str, cfg, params, batch_size: int = 1,
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
-                 dp_axis: str = "dp"):
+                 dp_axis: str = "dp", unroll_layers: Optional[bool] = None):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
@@ -90,7 +99,17 @@ class ModelRunner:
             self._tp = {"mesh": mesh, "axis": tp_axis, "dp_axis": dp_axis,
                         "tp": tp, "cfg_local": tp_model.local_config(cfg, tp)}
         self.params = params
-        self.stacked = stack_layers(params["layers"])
+        # unrolled layers: every layer's params are separate jit ARGUMENTS and
+        # every layer's KV cache is its own pytree leaf. lax.scan over the
+        # stacked weight pytree makes XLA materialize each layer's packed
+        # weights (a per-layer copy of the whole weight slice) before the
+        # Pallas kernels can read them — measured 12.4 -> 7.4 ms/token on the
+        # 7B decode step (scripts/decomp.py unroll_list). Default: unrolled on
+        # TPU (perf), scanned elsewhere (compile time; CPU tests).
+        if unroll_layers is None:
+            unroll_layers = jax.default_backend() == "tpu" and self._tp is None
+        self.unrolled = bool(unroll_layers) and self._tp is None
+        self.stacked = None if self.unrolled else stack_layers(params["layers"])
         # everything the jitted step reads must be an ARGUMENT, not a closure
         # capture — closed-over arrays get baked into the program as constants
         # (multi-GB programs, pathological compiles)
@@ -127,7 +146,9 @@ class ModelRunner:
             x, (k_new, v_new) = jax.lax.scan(
                 body, x, (sp["stacked"], cache.k, cache.v))
             return x, KVCache(k_new, v_new, cache.offset)
-        # heterogeneous layers: unrolled loop (still one jit)
+        # unrolled loop (perf mode or heterogeneous layers; still one jit).
+        # cache.k[li] on a tuple cache is Python indexing — zero device ops;
+        # on a stacked-array cache (heterogeneous checkpoints) it is a slice.
         ks, vs = [], []
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
@@ -135,6 +156,8 @@ class ModelRunner:
                                         rope=rope, tp_ctx=tp_ctx)
             ks.append(k2)
             vs.append(v2)
+        if isinstance(cache.k, tuple):
+            return x, KVCache(tuple(ks), tuple(vs), cache.offset)
         return x, KVCache(jnp.stack(ks), jnp.stack(vs), cache.offset)
 
     def _cache_specs(self):
@@ -190,7 +213,7 @@ class ModelRunner:
 
     def init_cache(self) -> KVCache:
         cache = KVCache.zeros(self.cfg, len(self.params["layers"]), self.batch,
-                              self.max_len, self.dtype)
+                              self.max_len, self.dtype, unrolled=self.unrolled)
         if self._tp is not None:
             from jax.sharding import NamedSharding
             specs = self._cache_specs()
@@ -236,6 +259,31 @@ class ModelRunner:
 
             self._decode_scan_cache[steps] = run
         return self._decode_scan_cache[steps](self._step_params, ids, cache)
+
+    def forced_decode_scan(self, ids, cache: KVCache):
+        """Teacher-forced decode: feed ids (B, S) one token per step inside ONE
+        compiled program; returns (last_logits (B, 1, V), cache).
+
+        Equivalent to prefill(ids) for the resulting cache/logits, but reuses
+        the (fast-compiling) s=1 decode step — bench/serving can seed a cache
+        without compiling a separate prefill-length program.
+        """
+        s = ids.shape[1]
+        key = ("forced", s)
+        if key not in self._decode_scan_cache:
+            step = self._step_fn(1)
+
+            @jax.jit
+            def run(sp, ids, cache):
+                def body(cache, tok):
+                    logits, cache = step(sp, tok[:, None], cache)
+                    return cache, logits[:, -1]
+                cache, logits = jax.lax.scan(body, cache,
+                                             jnp.swapaxes(ids, 0, 1))
+                return logits[-1][:, None], cache
+
+            self._decode_scan_cache[key] = run
+        return self._decode_scan_cache[key](self._step_params, ids, cache)
 
     def warmup(self, prefill_buckets=(128,)):
         """AOT compile decode + given prefill lengths (the reference's

@@ -165,3 +165,29 @@ def test_packed_model_runner(tmp_path):
     cache = runner.init_cache()
     logits, _ = runner.prefill(jnp.asarray(ids), cache)
     np.testing.assert_allclose(np.asarray(logits), want, atol=5e-3, rtol=0)
+
+
+def test_unrolled_layers_matches_scan():
+    """Perf mode: layers as separate jit args + per-layer tuple KV cache
+    (scripts/decomp.py: the scanned weight stack materializes per-layer
+    operand copies — 12.4 -> 7.4 ms/token on 7B decode)."""
+    cfg = _tiny_cfg("llama")
+    params = _params(cfg)
+    base = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                       dtype=jnp.float32, unroll_layers=False)
+    unr = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                      dtype=jnp.float32, unroll_layers=True)
+    assert unr.stacked is None and isinstance(unr.init_cache().k, tuple)
+    ids = jnp.asarray(np.arange(12, dtype=np.int32)[None] % cfg.vocab_size)
+
+    def run(r):
+        cache = r.init_cache()
+        logits, cache = r.prefill(ids, cache)
+        tok = jnp.argmax(logits[:, -1].astype(jnp.float32), -1).astype(jnp.int32)[:, None]
+        toks, _ = r.decode_greedy_scan(tok, cache, steps=6)
+        return np.asarray(logits, np.float32), np.asarray(toks)
+
+    lg_a, tk_a = run(base)
+    lg_b, tk_b = run(unr)
+    np.testing.assert_array_equal(tk_a, tk_b)
+    np.testing.assert_allclose(lg_b, lg_a, atol=2e-4, rtol=1e-3)
