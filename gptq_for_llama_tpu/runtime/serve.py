@@ -52,6 +52,22 @@ class _Slot:
     plen: int = 0                          # true prompt length
 
 
+def _slot_slice(cache, slot):
+    """One slot's rows from a dense cache: (L, B, S, H, D) array (slot axis 1)
+    or per-layer tuple of (B, S, H, D) (slot axis 0, unrolled mode)."""
+    if isinstance(cache, tuple):
+        return tuple(jax.lax.dynamic_slice_in_dim(c, slot, 1, axis=0)
+                     for c in cache)
+    return jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=1)
+
+
+def _slot_update(cache, new, slot):
+    if isinstance(cache, tuple):
+        return tuple(jax.lax.dynamic_update_slice_in_dim(c, n, slot, axis=0)
+                     for c, n in zip(cache, new))
+    return jax.lax.dynamic_update_slice_in_dim(cache, new, slot, axis=1)
+
+
 def _bucket(n: int, buckets) -> int:
     for b in buckets:
         if n <= b:
@@ -64,7 +80,9 @@ class ServingEngine:
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  prefill_buckets=(32, 128, 512), paged: bool = False,
                  block_size: int = 16, num_blocks: Optional[int] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 unroll_layers: Optional[bool] = None,
+                 decode_span: int = 1):
         self.arch = get_arch(arch_name)
         self.cfg = cfg
         self.dtype = dtype
@@ -91,14 +109,31 @@ class ServingEngine:
         self.logical_len = self.max_blocks * block_size
         if prefill_chunk is not None and not paged:
             self.max_len = cap  # dense cache rows must fit padded writes
-        stacked = stack_layers(params["layers"])
+        # unrolled layers: per-layer params as separate jit arguments and the
+        # KV cache/pool as per-layer tuple leaves — lax.scan over the stacked
+        # weight pytree materializes each layer's packed weights before the
+        # Pallas kernels read them (12.4 -> 7.4 ms/token on the 7B decode
+        # step; scripts/decomp.py). Default on TPU.
+        if unroll_layers is None:
+            unroll_layers = jax.default_backend() == "tpu"
+        self.unrolled = bool(unroll_layers)
+        stacked = None if self.unrolled else stack_layers(params["layers"])
         self._sp = {
             "statics": {k: v for k, v in params.items() if k != "layers"},
             "stacked": stacked,
             "layers": None if stacked is not None else params["layers"],
         }
         self.num_layers = len(params["layers"])
-        self._decode = jax.jit(self._make_decode())
+        self._decode_step_fn = self._make_decode()
+        self._decode = jax.jit(self._decode_step_fn)
+        # multi-step scheduling: `decode_span` decode+sample iterations inside
+        # ONE compiled program per host round-trip — through a high-latency
+        # dispatch path (the axon relay pays ~20-30 ms per host step) the
+        # per-iteration host loop, not the model, bounds serving throughput.
+        # Sequences may overshoot eos/max_new by up to span-1 tokens on
+        # device; the host trims them (same results as span=1).
+        self.decode_span = max(1, int(decode_span))
+        self._decode_span_fn = None
         self._prefills = {}
         self.slots = [_Slot() for _ in range(batch_slots)]
         self.queue: list[GenRequest] = []
@@ -132,6 +167,8 @@ class ServingEngine:
                                         rope=rope)
             ks.append(k2)
             vs.append(v2)
+        if isinstance(k_cache, tuple):  # unrolled: per-layer leaves, no stack
+            return x, tuple(ks), tuple(vs)
         return x, jnp.stack(ks), jnp.stack(vs)
 
     def _kv_len(self) -> int:
@@ -153,6 +190,29 @@ class ServingEngine:
 
         return step  # jitted once by __init__
 
+    def _get_decode_span(self):
+        if self._decode_span_fn is not None:
+            return self._decode_span_fn
+        base = self._decode_step_fn
+        span = self.decode_span
+
+        def run_span(sp, toks, k_cache, v_cache, offsets, live, tables,
+                     temps, tops, key):
+            def body(carry, sub):
+                toks, k, v, off = carry
+                logits, k, v, off = base(sp, toks, k, v, off, live, tables)
+                nxt = sample_logits(logits, sub, temps, tops).astype(jnp.int32)
+                nxt = jnp.where(live, nxt, toks[:, 0])  # dead slots: repeat
+                return (nxt[:, None], k, v, off), nxt
+
+            subs = jax.random.split(key, span)
+            (toks, k, v, off), all_toks = jax.lax.scan(
+                body, (toks, k_cache, v_cache, offsets), subs)
+            return jnp.swapaxes(all_toks, 0, 1), k, v, off  # (B, span)
+
+        self._decode_span_fn = jax.jit(run_span)
+        return self._decode_span_fn
+
     def _get_prefill(self, blen: int):
         if blen in self._prefills:
             return self._prefills[blen]
@@ -161,8 +221,8 @@ class ServingEngine:
         def prefill_dense(sp, ids, k_cache, v_cache, slot, true_len):
             """ids (1, blen) right-padded; writes into cache slot; returns
             last-real-token logits (1, V)."""
-            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
-            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            kc = _slot_slice(k_cache, slot)
+            vc = _slot_slice(v_cache, slot)
             offsets = jnp.zeros((1,), jnp.int32)
             positions = jnp.arange(blen)[None, :]
             mask = decode_mask(blen, self.max_len, 0)
@@ -172,10 +232,8 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, (true_len - 1)[None, None, None].astype(jnp.int32),
                 axis=1)[:, 0]
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc2, slot,
-                                                          axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc2, slot,
-                                                          axis=1)
+            k_cache = _slot_update(k_cache, kc2, slot)
+            v_cache = _slot_update(v_cache, vc2, slot)
             return last, k_cache, v_cache
 
         def prefill_paged(sp, ids, k_pool, v_pool, table_row, true_len):
@@ -206,8 +264,8 @@ class ServingEngine:
         blen = self.prefill_chunk
 
         def chunk_dense(sp, ids, k_cache, v_cache, slot, off0, last_idx):
-            kc = jax.lax.dynamic_slice_in_dim(k_cache, slot, 1, axis=1)
-            vc = jax.lax.dynamic_slice_in_dim(v_cache, slot, 1, axis=1)
+            kc = _slot_slice(k_cache, slot)
+            vc = _slot_slice(v_cache, slot)
             offsets = off0[None]
             positions = off0 + jnp.arange(blen)[None, :]
             mask = decode_mask(blen, self.max_len, off0)
@@ -217,10 +275,8 @@ class ServingEngine:
             last = jnp.take_along_axis(
                 logits, last_idx[None, None, None].astype(jnp.int32),
                 axis=1)[:, 0]
-            k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, kc2, slot,
-                                                          axis=1)
-            v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, vc2, slot,
-                                                          axis=1)
+            k_cache = _slot_update(k_cache, kc2, slot)
+            v_cache = _slot_update(v_cache, vc2, slot)
             return last, k_cache, v_cache
 
         def chunk_paged(sp, ids, k_pool, v_pool, table_row, off0, last_idx):
@@ -354,14 +410,20 @@ class ServingEngine:
             from .paged import BlockAllocator
             self._paged_alloc = BlockAllocator(self.num_blocks)
             self._tables_np = np.zeros((self.b, self.max_blocks), np.int32)
-            shape = (self.num_layers, self.num_blocks, self.block_size,
-                     self.cfg.num_kv_heads, self.cfg.head_dim)
+            lshape = (self.num_blocks, self.block_size,
+                      self.cfg.num_kv_heads, self.cfg.head_dim)
         else:
-            shape = (self.num_layers, self.b, self.max_len,
-                     self.cfg.num_kv_heads, self.cfg.head_dim)
+            lshape = (self.b, self.max_len,
+                      self.cfg.num_kv_heads, self.cfg.head_dim)
+
+        def cache0():
+            if self.unrolled:
+                return tuple(jnp.zeros(lshape, self.dtype)
+                             for _ in range(self.num_layers))
+            return jnp.zeros((self.num_layers,) + lshape, self.dtype)
         state = {
-            "k": jnp.zeros(shape, self.dtype),
-            "v": jnp.zeros(shape, self.dtype),
+            "k": cache0(),
+            "v": cache0(),
             "tables": (jnp.zeros((self.b, self.max_blocks), jnp.int32)
                        if self.paged else None),
             "off": jnp.zeros((self.b,), jnp.int32),
@@ -381,35 +443,61 @@ class ServingEngine:
                 self._prefill_tick(state)  # at most one chunk per iteration
                 if not state["live"].any():
                     continue  # nothing decoding yet; keep prefilling
+            # multi-step span only when the host has nothing to schedule and
+            # capacity/limits cannot be hit mid-span
+            span = self.decode_span
+            if span > 1:
+                # spans trade <= span-1 tokens of admission latency for
+                # throughput (a slot retiring mid-span is only backfilled at
+                # the next host iteration); chunked prefills and near-capacity
+                # slots force single-step
+                if (any(s.pending is not None for s in self.slots)
+                        or not state["live"].any()
+                        or state["host_off"][state["live"]].max() + span
+                        >= self._kv_len()):
+                    span = 1
             live_j = jnp.asarray(state["live"])
-            logits, state["k"], state["v"], state["off"] = self._decode(
-                self._sp, jnp.asarray(state["toks"][:, None]), state["k"],
-                state["v"], state["off"], live_j, state["tables"])
-            state["host_off"][state["live"]] += 1
             self._key, sub = jax.random.split(self._key)
-            toks_np = np.asarray(sample_logits(
-                logits, sub, jnp.asarray(state["temps"]),
-                jnp.asarray(state["tops"])))  # ONE sample + transfer per step
-            for i, slot in enumerate(self.slots):
-                if slot.done:
-                    continue
-                req = slot.req
-                t = int(toks_np[i])
-                slot.generated.append(t)
-                produced += 1
-                ended = (req.eos_token_id is not None
-                         and t == req.eos_token_id)
-                full = state["host_off"][i] + 1 >= self.max_len
-                if ended or full or len(slot.generated) >= req.max_new_tokens:
-                    self.results[req.uid] = np.asarray(slot.generated, np.int32)
-                    slot.done = True
-                    state["live"][i] = False
-                    # paged blocks are NOT released here: a retired slot still
-                    # participates in the batched decode step and re-writes its
-                    # frozen position — its blocks stay owned until the slot is
-                    # re-admitted (released at the top of _admit)
-                else:
-                    state["toks"][i] = t
+            if span > 1:
+                toks_span, state["k"], state["v"], state["off"] = \
+                    self._get_decode_span()(
+                        self._sp, jnp.asarray(state["toks"][:, None]),
+                        state["k"], state["v"], state["off"], live_j,
+                        state["tables"], jnp.asarray(state["temps"]),
+                        jnp.asarray(state["tops"]), sub)
+                toks_np2 = np.asarray(toks_span)  # (B, span)
+            else:
+                logits, state["k"], state["v"], state["off"] = self._decode(
+                    self._sp, jnp.asarray(state["toks"][:, None]), state["k"],
+                    state["v"], state["off"], live_j, state["tables"])
+                toks_np2 = np.asarray(sample_logits(
+                    logits, sub, jnp.asarray(state["temps"]),
+                    jnp.asarray(state["tops"]))).reshape(-1, 1)
+            for j in range(toks_np2.shape[1]):
+                for i, slot in enumerate(self.slots):
+                    if slot.done or not state["live"][i]:
+                        continue
+                    req = slot.req
+                    t = int(toks_np2[i, j])
+                    state["host_off"][i] += 1
+                    slot.generated.append(t)
+                    produced += 1
+                    ended = (req.eos_token_id is not None
+                             and t == req.eos_token_id)
+                    full = state["host_off"][i] + 1 >= self.max_len
+                    if ended or full or len(slot.generated) >= req.max_new_tokens:
+                        self.results[req.uid] = np.asarray(slot.generated,
+                                                           np.int32)
+                        slot.done = True
+                        state["live"][i] = False
+                        # paged blocks are NOT released here: a retired slot
+                        # still participates in the batched decode step and
+                        # re-writes its frozen position — its blocks stay owned
+                        # until the slot is re-admitted (released in _admit).
+                        # Tokens this slot produced later in the span (it kept
+                        # decoding on device) are dropped by the live[] check.
+                    else:
+                        state["toks"][i] = t
             steps += 1
             if log and steps % 32 == 0:
                 dt = time.perf_counter() - t0

@@ -113,3 +113,53 @@ def test_serving_eos_frees_slot():
     results = engine.run()
     assert len(results[0]) == expect_len and results[0][-1] == eos
     np.testing.assert_array_equal(results[0], ref[:expect_len])
+
+
+def test_unrolled_serving_matches_scan():
+    """unroll_layers=True (TPU perf default: per-layer jit args + tuple
+    caches) must produce identical greedy outputs, dense and paged."""
+    cfg, params = _setup()
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32)]
+
+    def run(**kw):
+        engine = ServingEngine("llama", cfg, params, batch_slots=2,
+                               max_seq_len=32, dtype=jnp.float32,
+                               prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            engine.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                     temperature=0.0))
+        return engine.run()
+
+    base = run(unroll_layers=False)
+    unr = run(unroll_layers=True)
+    unr_paged = run(unroll_layers=True, paged=True, block_size=8)
+    for uid in base:
+        np.testing.assert_array_equal(unr[uid], base[uid])
+        np.testing.assert_array_equal(unr_paged[uid], base[uid])
+
+
+def test_decode_span_matches_single_step():
+    """Multi-step scheduling (decode_span=4): identical greedy outputs; eos /
+    max_new overshoot inside a span is trimmed host-side."""
+    cfg, params = _setup()
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32)]
+
+    def run(**kw):
+        engine = ServingEngine("llama", cfg, params, batch_slots=2,
+                               max_seq_len=32, dtype=jnp.float32,
+                               prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            engine.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=7,
+                                     temperature=0.0))
+        return engine.run()
+
+    base = run()
+    spanned = run(decode_span=4)
+    spanned_paged = run(decode_span=4, paged=True, block_size=8)
+    for uid in base:
+        np.testing.assert_array_equal(spanned[uid], base[uid])
+        np.testing.assert_array_equal(spanned_paged[uid], base[uid])
