@@ -149,26 +149,38 @@ def _replicated(tree):
     return jax.tree_util.tree_map(lambda _: P(), tree)
 
 
+def _layer_specs(arch_name: str, layer_tree: dict, axis: str, lead: int):
+    from ..engine.quantize import get_path, set_path
+    spec = jax.tree_util.tree_map(lambda _: P(), layer_tree)
+    for name, mode in TP_RULES[arch_name].items():
+        try:
+            lin = get_path(layer_tree, name)
+        except (KeyError, TypeError):
+            continue
+        set_path(spec, name, _lin_specs(lin, mode, axis, lead=lead))
+    return spec
+
+
 def step_specs(arch_name: str, sp: dict, axis: str = "tp") -> dict:
-    """PartitionSpec tree matching the runner's step-params dict
-    ({'statics': ..., 'stacked': ..., 'layers': None})."""
+    """PartitionSpec tree matching the runner/serving step-params dict
+    ({'statics': ..., 'stacked': <stacked tree or None>, 'layers':
+    <per-layer list or None>})."""
     statics_spec = {}
     for key, val in sp["statics"].items():
         if key in ("lm_head", "embed_out"):
             statics_spec[key] = _lin_specs(val, "col", axis, lead=0)
         else:
             statics_spec[key] = _replicated(val)
-    if sp["stacked"] is None:
-        raise ValueError("shard_map TP needs homogeneous (stackable) layers")
-    from ..engine.quantize import get_path, set_path
-    stacked_spec = jax.tree_util.tree_map(lambda _: P(), sp["stacked"])
-    for name, mode in TP_RULES[arch_name].items():
-        try:
-            lin = get_path(sp["stacked"], name)
-        except (KeyError, TypeError):
-            continue
-        set_path(stacked_spec, name, _lin_specs(lin, mode, axis, lead=1))
-    return {"statics": statics_spec, "stacked": stacked_spec, "layers": None}
+    if sp["stacked"] is not None:
+        stacked_spec = _layer_specs(arch_name, sp["stacked"], axis, lead=1)
+        return {"statics": statics_spec, "stacked": stacked_spec,
+                "layers": None}
+    if sp.get("layers"):  # unrolled mode: per-layer spec trees
+        layers_spec = [_layer_specs(arch_name, lp, axis, lead=0)
+                       for lp in sp["layers"]]
+        return {"statics": statics_spec, "stacked": None,
+                "layers": layers_spec}
+    raise ValueError("step params carry neither stacked nor per-layer trees")
 
 
 def localize_layer_aux(arch_name: str, tree: dict, tp: int) -> dict:
@@ -187,6 +199,18 @@ def localize_layer_aux(arch_name: str, tree: dict, tp: int) -> dict:
         return dataclasses.replace(lin, in_features=kp_local)
 
     return _walk_linears(arch_name, tree, fix)
+
+
+def localize_step_params(arch_name: str, sp: dict, tp: int) -> dict:
+    """Trace-time aux localization for a whole step-params dict (stacked or
+    unrolled form)."""
+    sp = dict(sp)
+    if sp.get("stacked") is not None:
+        sp["stacked"] = localize_layer_aux(arch_name, sp["stacked"], tp)
+    elif sp.get("layers"):
+        sp["layers"] = [localize_layer_aux(arch_name, lp, tp)
+                        for lp in sp["layers"]]
+    return sp
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.sharding import PartitionSpec as P
+
 from ..models.registry import get_arch
 from ..models.common import decode_mask
 from .runner import KVCache, sample_logits, stack_layers
@@ -82,8 +84,10 @@ class ServingEngine:
                  block_size: int = 16, num_blocks: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
                  unroll_layers: Optional[bool] = None,
-                 decode_span: int = 1):
+                 decode_span: int = 1,
+                 mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp"):
         self.arch = get_arch(arch_name)
+        self.arch_name = arch_name
         self.cfg = cfg
         self.dtype = dtype
         self.b = batch_slots
@@ -109,6 +113,18 @@ class ServingEngine:
         self.logical_len = self.max_blocks * block_size
         if prefill_chunk is not None and not paged:
             self.max_len = cap  # dense cache rows must fit padded writes
+        # shard_map tensor parallelism (parallel/tp_model): every jitted step
+        # (prefill, decode, span) runs inside one shard_map region so the
+        # Pallas kernels execute on each device's local TP shard. TP-only
+        # (slots are not dp-sharded); sampling all-gathers the vocab-sharded
+        # logits in-program.
+        self._tp = None
+        if mesh is not None and shard_map_tp:
+            from ..parallel import tp_model
+            tp = mesh.shape[tp_axis]
+            params = tp_model.prepare_tp_params(arch_name, params, tp)
+            self._tp = {"mesh": mesh, "axis": tp_axis, "tp": tp,
+                        "cfg_local": tp_model.local_config(cfg, tp)}
         # unrolled layers: per-layer params as separate jit arguments and the
         # KV cache/pool as per-layer tuple leaves — lax.scan over the stacked
         # weight pytree materializes each layer's packed weights before the
@@ -124,8 +140,19 @@ class ServingEngine:
             "layers": None if stacked is not None else params["layers"],
         }
         self.num_layers = len(params["layers"])
+        if self._tp is not None:
+            from ..parallel import tp_model
+            self._sp_specs = tp_model.step_specs(arch_name, self._sp, tp_axis)
+            self._sp = tp_model.place_step_params(self._sp, mesh,
+                                                  self._sp_specs)
         self._decode_step_fn = self._make_decode()
-        self._decode = jax.jit(self._decode_step_fn)
+        self._decode = self._jit_tp(
+            self._decode_step_fn,
+            rest_in=(P(), self._cache_pspec(), self._cache_pspec(), P(), P(),
+                     P()),
+            out=(self._vocab_pspec(), self._cache_pspec(),
+                 self._cache_pspec(), P())) if self._tp is not None \
+            else jax.jit(self._decode_step_fn)
         # multi-step scheduling: `decode_span` decode+sample iterations inside
         # ONE compiled program per host round-trip — through a high-latency
         # dispatch path (the axon relay pays ~20-30 ms per host step) the
@@ -142,9 +169,42 @@ class ServingEngine:
 
     # -- jitted model steps --------------------------------------------------
 
+    def _model_cfg(self):
+        return self._tp["cfg_local"] if self._tp is not None else self.cfg
+
+    def _tp_ctx(self):
+        return (self._tp["axis"], self._tp["tp"]) if self._tp is not None \
+            else None
+
+    def _cache_pspec(self):
+        axis = self._tp["axis"]
+        per = P(None, None, axis, None)  # (B,S,H,D) dense / (NB,BS,H,D) paged
+        if self.unrolled:
+            return tuple(per for _ in range(self.num_layers))
+        return P(None, None, None, axis, None)
+
+    def _vocab_pspec(self):
+        return P(None, self._tp["axis"])
+
+    def _jit_tp(self, fn, rest_in, out):
+        """shard_map-wrap a step fn (sp is always the first argument)."""
+        from jax import shard_map
+        from ..parallel import tp_model
+        t = self._tp
+
+        def localized(sp, *rest):
+            sp = tp_model.localize_step_params(self.arch_name, sp, t["tp"])
+            return fn(sp, *rest)
+
+        return jax.jit(shard_map(
+            localized, mesh=t["mesh"],
+            in_specs=(self._sp_specs,) + tuple(rest_in),
+            out_specs=out, check_vma=False))
+
     def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets,
                 tables=None):
-        arch, cfg = self.arch, self.cfg
+        arch, cfg = self.arch, self._model_cfg()
+        tp_ctx = self._tp_ctx()
         rope = arch.step_rope(cfg, positions, self.dtype)
 
         def past(ck, cv):
@@ -156,7 +216,8 @@ class ServingEngine:
             def body(xc, layer_in):
                 lp, ck, cv = layer_in
                 y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions, mask,
-                                              past(ck, cv), rope=rope)
+                                              past(ck, cv), rope=rope,
+                                              tp_ctx=tp_ctx)
                 return y, (ck2, cv2)
             x, (k2, v2) = jax.lax.scan(body, x, (sp["stacked"], k_cache, v_cache))
             return x, k2, v2
@@ -164,7 +225,7 @@ class ServingEngine:
         for li, lp in enumerate(sp["layers"]):
             x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, mask,
                                         past(k_cache[li], v_cache[li]),
-                                        rope=rope)
+                                        rope=rope, tp_ctx=tp_ctx)
             ks.append(k2)
             vs.append(v2)
         if isinstance(k_cache, tuple):  # unrolled: per-layer leaves, no stack
@@ -175,7 +236,7 @@ class ServingEngine:
         return self.logical_len if self.paged else self.max_len
 
     def _make_decode(self):
-        arch, cfg = self.arch, self.cfg
+        arch, cfg = self.arch, self._model_cfg()
 
         def step(sp, toks, k_cache, v_cache, offsets, live, tables):
             """toks (B,1); offsets (B,); live (B,) bool. One token for all slots."""
@@ -196,11 +257,19 @@ class ServingEngine:
         base = self._decode_step_fn
         span = self.decode_span
 
+        tp_axis = self._tp["axis"] if self._tp is not None else None
+
         def run_span(sp, toks, k_cache, v_cache, offsets, live, tables,
                      temps, tops, key):
             def body(carry, sub):
                 toks, k, v, off = carry
                 logits, k, v, off = base(sp, toks, k, v, off, live, tables)
+                if tp_axis is not None:
+                    # sampling needs the full vocab row; keys are replicated,
+                    # so every shard draws the SAME token
+                    logits = jax.lax.all_gather(logits, tp_axis,
+                                                axis=logits.ndim - 1,
+                                                tiled=True)
                 nxt = sample_logits(logits, sub, temps, tops).astype(jnp.int32)
                 nxt = jnp.where(live, nxt, toks[:, 0])  # dead slots: repeat
                 return (nxt[:, None], k, v, off), nxt
@@ -210,13 +279,20 @@ class ServingEngine:
                 body, (toks, k_cache, v_cache, offsets), subs)
             return jnp.swapaxes(all_toks, 0, 1), k, v, off  # (B, span)
 
-        self._decode_span_fn = jax.jit(run_span)
+        if self._tp is not None:
+            cache = self._cache_pspec()
+            self._decode_span_fn = self._jit_tp(
+                run_span,
+                rest_in=(P(), cache, cache, P(), P(), P(), P(), P(), P()),
+                out=(P(), cache, cache, P()))
+        else:
+            self._decode_span_fn = jax.jit(run_span)
         return self._decode_span_fn
 
     def _get_prefill(self, blen: int):
         if blen in self._prefills:
             return self._prefills[blen]
-        arch, cfg = self.arch, self.cfg
+        arch, cfg = self.arch, self._model_cfg()
 
         def prefill_dense(sp, ids, k_cache, v_cache, slot, true_len):
             """ids (1, blen) right-padded; writes into cache slot; returns
@@ -251,8 +327,14 @@ class ServingEngine:
                 axis=1)[:, 0]
             return last, k_pool, v_pool
 
-        self._prefills[blen] = jax.jit(prefill_paged if self.paged
-                                       else prefill_dense)
+        fn = prefill_paged if self.paged else prefill_dense
+        if self._tp is not None:
+            cache = self._cache_pspec()
+            self._prefills[blen] = self._jit_tp(
+                fn, rest_in=(P(), cache, cache, P(), P()),
+                out=(self._vocab_pspec(), cache, cache))
+        else:
+            self._prefills[blen] = jax.jit(fn)
         return self._prefills[blen]
 
     def _get_chunk_prefill(self):
@@ -260,7 +342,7 @@ class ServingEngine:
         of one slot starting at cache position off0."""
         if getattr(self, "_chunk_fn", None) is not None:
             return self._chunk_fn
-        arch, cfg = self.arch, self.cfg
+        arch, cfg = self.arch, self._model_cfg()
         blen = self.prefill_chunk
 
         def chunk_dense(sp, ids, k_cache, v_cache, slot, off0, last_idx):
@@ -293,7 +375,14 @@ class ServingEngine:
                 axis=1)[:, 0]
             return last, k_pool, v_pool
 
-        self._chunk_fn = jax.jit(chunk_paged if self.paged else chunk_dense)
+        fn = chunk_paged if self.paged else chunk_dense
+        if self._tp is not None:
+            cache = self._cache_pspec()
+            self._chunk_fn = self._jit_tp(
+                fn, rest_in=(P(), cache, cache, P(), P(), P()),
+                out=(self._vocab_pspec(), cache, cache))
+        else:
+            self._chunk_fn = jax.jit(fn)
         return self._chunk_fn
 
     def _prefill_tick(self, state) -> bool:

@@ -148,3 +148,36 @@ def test_decode_scan_under_shard_map():
         return np.asarray(toks)
 
     np.testing.assert_array_equal(scan_toks(tpr), scan_toks(base))
+
+
+def test_shard_map_tp_serving_matches_unsharded():
+    """ServingEngine(mesh=, shard_map_tp=True): per-shard kernels + psums for
+    every jitted serving step (prefill, decode, span); greedy outputs must be
+    identical, dense and paged, with multi-step spans."""
+    from gptq_for_llama_tpu.runtime.serve import GenRequest, ServingEngine
+    cfg = CFGS["llama"]
+    params = _build("llama", cfg)
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32)]
+
+    def run(**kw):
+        engine = ServingEngine("llama", cfg, params, batch_slots=2,
+                               max_seq_len=32, dtype=jnp.float32,
+                               prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            engine.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                     temperature=0.0))
+        return engine.run()
+
+    base = run()
+    mesh = make_mesh(tp=4, dp=1)
+    tp = run(mesh=mesh, shard_map_tp=True)
+    tp_span = run(mesh=mesh, shard_map_tp=True, decode_span=4)
+    tp_paged = run(mesh=mesh, shard_map_tp=True, paged=True, block_size=8)
+    tp_unrolled = run(mesh=mesh, shard_map_tp=True, unroll_layers=True)
+    for uid in base:
+        np.testing.assert_array_equal(tp[uid], base[uid])
+        np.testing.assert_array_equal(tp_span[uid], base[uid])
+        np.testing.assert_array_equal(tp_paged[uid], base[uid])
+        np.testing.assert_array_equal(tp_unrolled[uid], base[uid])
