@@ -69,7 +69,7 @@ def apply_rope(q, k, cos, sin, rotary_dim: int | None = None):
     return q2.astype(q.dtype), k2.astype(k.dtype)
 
 
-def update_kv_cache(cache_k, cache_v, k_new, v_new, offset):
+def update_kv_cache(cache_k, cache_v, k_new, v_new, offset, write_mask=None):
     """Write k/v at [offset, offset+s) of a static-size cache.
 
     cache_k/v: (B, max_len, Hkv, D); k_new/v_new: (B, s, Hkv, D); offset:
@@ -77,6 +77,11 @@ def update_kv_cache(cache_k, cache_v, k_new, v_new, offset):
     every slot at its own position). The TPU-native replacement for the
     reference's growing concat KV cache (reference: quant/fused_attn.py:140-143)
     — static shapes keep decode under one compiled step.
+
+    write_mask: optional (B,) bool with vector offsets — rows with False keep
+    their EXISTING cache contents (a batched decode step must not clobber a
+    slot that is mid-prefill in the same engine iteration: its offset points
+    into rows another program already filled).
     """
     k_new = k_new.astype(cache_k.dtype)
     v_new = v_new.astype(cache_v.dtype)
@@ -84,6 +89,12 @@ def update_kv_cache(cache_k, cache_v, k_new, v_new, offset):
         cache_k = jax.lax.dynamic_update_slice(cache_k, k_new, (0, offset, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v_new, (0, offset, 0, 0))
         return cache_k, cache_v
+    if write_mask is not None:
+        old = jax.vmap(lambda c, o: jax.lax.dynamic_slice(
+            c, (o, 0, 0), k_new.shape[1:]))
+        m = write_mask[:, None, None, None]
+        k_new = jnp.where(m, k_new, old(cache_k, offset))
+        v_new = jnp.where(m, v_new, old(cache_v, offset))
     upd = jax.vmap(lambda c, n, o: jax.lax.dynamic_update_slice(
         c, n, (o, 0, 0)))
     return upd(cache_k, k_new, offset), upd(cache_v, v_new, offset)
@@ -110,21 +121,28 @@ def apply_kv_cache(past_kv, k, v):
     past_kv forms:
       None                          -> no cache (plain causal forward)
       (ck, cv, offset)              -> dense static cache (runner/serving)
-      ("paged", kp, vp, tables, offset) -> paged block-pool cache (one layer's
-                                       pool slice (NB, BS, Hkv, D); see
-                                       runtime/paged.py)
+      (ck, cv, offset, write_mask)  -> dense with per-slot write masking
+                                       (batched decode alongside mid-prefill
+                                       slots; see update_kv_cache)
+      ("paged", kp, vp, tables, offset[, write_mask]) -> paged block-pool
+                                       cache (one layer's pool slice
+                                       (NB, BS, Hkv, D); runtime/paged.py)
     Returns (k_eff, v_eff, present, offset_or_None): k_eff/v_eff are what
     attention reads; present is what the layer must return as its cache.
     """
     if past_kv is None:
         return k, v, (k, v), None
     if past_kv[0] == "paged":
-        _, kp, vp, tables, offset = past_kv
+        _, kp, vp, tables, offset = past_kv[:5]
+        write_mask = past_kv[5] if len(past_kv) > 5 else None
         from ..runtime.paged import paged_update_layer
-        kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k, v, tables, offset)
+        kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k, v, tables, offset,
+                                                  write_mask=write_mask)
         return k_eff, v_eff, (kp, vp), offset
-    cache_k, cache_v, offset = past_kv
-    k, v = update_kv_cache(cache_k, cache_v, k, v, offset)
+    cache_k, cache_v, offset = past_kv[:3]
+    write_mask = past_kv[3] if len(past_kv) > 3 else None
+    k, v = update_kv_cache(cache_k, cache_v, k, v, offset,
+                           write_mask=write_mask)
     return k, v, (k, v), offset
 
 

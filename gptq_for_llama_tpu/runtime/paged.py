@@ -100,7 +100,7 @@ def paged_gather(pool_layer, table):
     return blocks.reshape(mb * bs, h, d)
 
 
-def paged_update_layer(kp, vp, k_new, v_new, tables, offset):
+def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None):
     """One layer's paged-cache update + logical gather (the arch-layer hook).
 
     kp/vp: (NB, BS, Hkv, D) this layer's pool slice; k_new/v_new (B, s, H, D);
@@ -110,6 +110,8 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset):
     end inside a block is safe: those positions are masked until the real
     token overwrites them before first read. Returns (kp, vp, k_eff, v_eff)
     where k_eff/v_eff are the gathered logical (B, MB*BS, H, D) views.
+    write_mask: optional (B,) bool — rows with False keep their existing pool
+    contents (decode alongside mid-prefill slots must not clobber them).
     """
     b, s, h, d = k_new.shape
     bs = kp.shape[1]
@@ -120,6 +122,14 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset):
     if s == 1:
         phys = jnp.take_along_axis(tables, (offv // bs)[:, None], axis=1)[:, 0]
         off_in = offv % bs
+        if write_mask is not None:
+            def rd(pool, bi):
+                return jax.lax.dynamic_slice(
+                    pool, (phys[bi], off_in[bi], 0, 0), (1, 1, h, d))[0]
+            k_new = jnp.stack([jnp.where(write_mask[bi], k_new[bi],
+                                         rd(kp, bi)) for bi in range(b)])
+            v_new = jnp.stack([jnp.where(write_mask[bi], v_new[bi],
+                                         rd(vp, bi)) for bi in range(b)])
 
         def write(pools, bi):
             kpl, vpl = pools

@@ -84,7 +84,7 @@ class ServingEngine:
                  block_size: int = 16, num_blocks: Optional[int] = None,
                  prefill_chunk: Optional[int] = None,
                  unroll_layers: Optional[bool] = None,
-                 decode_span: int = 1,
+                 decode_span: int = 1, fused_chunk_decode: bool = True,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp"):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
@@ -161,6 +161,11 @@ class ServingEngine:
         # device; the host trims them (same results as span=1).
         self.decode_span = max(1, int(decode_span))
         self._decode_span_fn = None
+        # chunked prefill + decode fused into ONE program (one dispatch): the
+        # pending slot's next chunk and a decode token for every live slot
+        # ride the same compiled step (PARITY known-gap closed)
+        self.fused_chunk_decode = bool(fused_chunk_decode)
+        self._chunk_decode_fn = None
         self._prefills = {}
         self.slots = [_Slot() for _ in range(batch_slots)]
         self.queue: list[GenRequest] = []
@@ -202,15 +207,17 @@ class ServingEngine:
             out_specs=out, check_vma=False))
 
     def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets,
-                tables=None):
+                tables=None, write_mask=None):
         arch, cfg = self.arch, self._model_cfg()
         tp_ctx = self._tp_ctx()
         rope = arch.step_rope(cfg, positions, self.dtype)
 
         def past(ck, cv):
             if tables is None:
-                return (ck, cv, offsets)
-            return ("paged", ck, cv, tables, offsets)
+                return (ck, cv, offsets) if write_mask is None else \
+                    (ck, cv, offsets, write_mask)
+            return ("paged", ck, cv, tables, offsets) if write_mask is None \
+                else ("paged", ck, cv, tables, offsets, write_mask)
 
         if sp["stacked"] is not None:
             def body(xc, layer_in):
@@ -243,8 +250,11 @@ class ServingEngine:
             positions = offsets[:, None]
             mask = decode_mask(1, self._kv_len(), offsets)
             x = arch.embed(sp["statics"], cfg, toks, positions).astype(self.dtype)
+            # write-mask: a batched step decodes EVERY slot; non-live slots
+            # (retired, or mid-chunked-prefill in the fused program) must not
+            # clobber their cache rows
             x, k2, v2 = self._layers(sp, x, positions, mask, k_cache, v_cache,
-                                     offsets, tables=tables)
+                                     offsets, tables=tables, write_mask=live)
             logits = arch.head(sp["statics"], cfg, x)[:, -1]
             new_off = jnp.where(live, offsets + 1, offsets)
             return logits, k2, v2, new_off
@@ -376,6 +386,7 @@ class ServingEngine:
             return last, k_pool, v_pool
 
         fn = chunk_paged if self.paged else chunk_dense
+        self._chunk_raw = fn
         if self._tp is not None:
             cache = self._cache_pspec()
             self._chunk_fn = self._jit_tp(
@@ -385,40 +396,76 @@ class ServingEngine:
             self._chunk_fn = jax.jit(fn)
         return self._chunk_fn
 
-    def _prefill_tick(self, state) -> bool:
-        """Advance ONE pending slot by one chunk; True if a chunk ran."""
+    def _get_chunk_decode(self):
+        """One program: next prompt chunk for ONE slot + one decode token for
+        all live slots. The chunk runs first (its slot is not live); both
+        parts share the jit (single host dispatch per engine iteration)."""
+        if self._chunk_decode_fn is not None:
+            return self._chunk_decode_fn
+        self._get_chunk_prefill()  # builds self._chunk_raw
+        chunk_raw = self._chunk_raw
+        decode_raw = self._decode_step_fn
+
+        def fused(sp, toks, k, v, off, live, tables,
+                  chunk_ids, slotarg, off0, last_idx):
+            clast, k, v = chunk_raw(sp, chunk_ids, k, v, slotarg, off0,
+                                    last_idx)
+            logits, k, v, off = decode_raw(sp, toks, k, v, off, live, tables)
+            return logits, clast, k, v, off
+
+        if self._tp is not None:
+            cache = self._cache_pspec()
+            self._chunk_decode_fn = self._jit_tp(
+                fused,
+                rest_in=(P(), cache, cache, P(), P(), P(), P(), P(), P(),
+                         P()),
+                out=(self._vocab_pspec(), self._vocab_pspec(), cache, cache,
+                     P()))
+        else:
+            self._chunk_decode_fn = jax.jit(fused)
+        return self._chunk_decode_fn
+
+    def _pick_pending(self, state):
+        """Next pending chunk: (i, slot, ids, slotarg, off0, last_idx)."""
         for i, slot in enumerate(self.slots):
             if slot.pending is None:
                 continue
             c = self.prefill_chunk
-            ids = slot.pending[slot.ppos:slot.ppos + c][None]
-            fn = self._get_chunk_prefill()
+            ids = jnp.asarray(slot.pending[slot.ppos:slot.ppos + c][None])
             off0 = jnp.int32(slot.ppos)
             last_idx = jnp.int32(max(0, min(slot.plen - 1 - slot.ppos, c - 1)))
-            if self.paged:
-                last, state["k"], state["v"] = fn(
-                    self._sp, jnp.asarray(ids), state["k"], state["v"],
-                    state["tables"][i], off0, last_idx)
-            else:
-                last, state["k"], state["v"] = fn(
-                    self._sp, jnp.asarray(ids), state["k"], state["v"],
-                    jnp.int32(i), off0, last_idx)
-            slot.ppos += c
-            if slot.ppos >= len(slot.pending):  # prompt complete: activate
-                req = slot.req
-                self._key, sub = jax.random.split(self._key)
-                tok = int(sample_logits(last, sub, req.temperature,
-                                        req.top_p)[0])
-                slot.pending = None
-                slot.generated = [tok]
-                state["host_off"][i] = slot.plen
-                state["temps"][i] = req.temperature
-                state["tops"][i] = req.top_p
-                state["toks"][i] = tok
-                state["live"][i] = True
-                state["off"] = state["off"].at[i].set(slot.plen)
-            return True
-        return False
+            slotarg = state["tables"][i] if self.paged else jnp.int32(i)
+            return i, slot, ids, slotarg, off0, last_idx
+        return None
+
+    def _finish_chunk(self, state, i, slot, last):
+        """Book-keeping after a chunk ran (activates the slot when done)."""
+        slot.ppos += self.prefill_chunk
+        if slot.ppos >= len(slot.pending):  # prompt complete: activate
+            req = slot.req
+            self._key, sub = jax.random.split(self._key)
+            tok = int(sample_logits(last, sub, req.temperature,
+                                    req.top_p)[0])
+            slot.pending = None
+            slot.generated = [tok]
+            state["host_off"][i] = slot.plen
+            state["temps"][i] = req.temperature
+            state["tops"][i] = req.top_p
+            state["toks"][i] = tok
+            state["live"][i] = True
+            state["off"] = state["off"].at[i].set(slot.plen)
+
+    def _prefill_tick(self, state) -> bool:
+        """Advance ONE pending slot by one chunk; True if a chunk ran."""
+        picked = self._pick_pending(state)
+        if picked is None:
+            return False
+        i, slot, ids, slotarg, off0, last_idx = picked
+        fn = self._get_chunk_prefill()
+        last, state["k"], state["v"] = fn(
+            self._sp, ids, state["k"], state["v"], slotarg, off0, last_idx)
+        self._finish_chunk(state, i, slot, last)
+        return True
 
     # -- scheduler -----------------------------------------------------------
 
@@ -528,10 +575,14 @@ class ServingEngine:
 
         while self.queue or any(not s.done for s in self.slots):
             self._admit(state)
+            fused_chunk = None
             if self.prefill_chunk is not None:
-                self._prefill_tick(state)  # at most one chunk per iteration
-                if not state["live"].any():
-                    continue  # nothing decoding yet; keep prefilling
+                if self.fused_chunk_decode and state["live"].any():
+                    fused_chunk = self._pick_pending(state)
+                else:
+                    self._prefill_tick(state)  # one chunk per iteration
+                    if not state["live"].any():
+                        continue  # nothing decoding yet; keep prefilling
             # multi-step span only when the host has nothing to schedule and
             # capacity/limits cannot be hit mid-span
             span = self.decode_span
@@ -547,7 +598,22 @@ class ServingEngine:
                     span = 1
             live_j = jnp.asarray(state["live"])
             self._key, sub = jax.random.split(self._key)
-            if span > 1:
+            if fused_chunk is not None:
+                # chunk + decode in ONE program (one dispatch)
+                i, slot, ids, slotarg, off0, last_idx = fused_chunk
+                logits, clast, state["k"], state["v"], state["off"] = \
+                    self._get_chunk_decode()(
+                        self._sp, jnp.asarray(state["toks"][:, None]),
+                        state["k"], state["v"], state["off"], live_j,
+                        state["tables"], ids, slotarg, off0, last_idx)
+                # activation must wait until after the token loop below:
+                # the fused program decoded with the PRE-activation live mask,
+                # so this slot's logits from it are meaningless
+                fused_done = (i, slot, clast)
+                toks_np2 = np.asarray(sample_logits(
+                    logits, sub, jnp.asarray(state["temps"]),
+                    jnp.asarray(state["tops"]))).reshape(-1, 1)
+            elif span > 1:
                 toks_span, state["k"], state["v"], state["off"] = \
                     self._get_decode_span()(
                         self._sp, jnp.asarray(state["toks"][:, None]),
@@ -587,6 +653,8 @@ class ServingEngine:
                         # decoding on device) are dropped by the live[] check.
                     else:
                         state["toks"][i] = t
+            if fused_chunk is not None:
+                self._finish_chunk(state, *fused_done)
             steps += 1
             if log and steps % 32 == 0:
                 dt = time.perf_counter() - t0

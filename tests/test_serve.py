@@ -163,3 +163,34 @@ def test_decode_span_matches_single_step():
     for uid in base:
         np.testing.assert_array_equal(spanned[uid], base[uid])
         np.testing.assert_array_equal(spanned_paged[uid], base[uid])
+
+
+def test_chunked_prefill_concurrent_decode_write_mask():
+    """Regression: a batched decode step must not clobber rows of a slot that
+    is mid-chunked-prefill (its stale offset points into prompt rows that
+    earlier chunks already wrote). Staggered lifetimes force a multi-chunk
+    prefill to coexist with live decoding, in both fused and unfused modes."""
+    cfg, params = _setup()
+    prompts = [np.arange(1, 6, dtype=np.int32),        # slot0: decodes long
+               np.array([5, 6], np.int32),             # slot1: retires fast
+               np.arange(3, 20, dtype=np.int32)]       # 17 tokens: 3 chunks
+    max_new = [12, 2, 4]
+
+    def run(**kw):
+        eng = ServingEngine("llama", cfg, params, batch_slots=2,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(32,), **kw)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p,
+                                  max_new_tokens=max_new[uid],
+                                  temperature=0.0))
+        return eng.run()
+
+    base = run()
+    for kw in (dict(prefill_chunk=8, fused_chunk_decode=False),
+               dict(prefill_chunk=8),
+               dict(prefill_chunk=8, paged=True, block_size=8)):
+        got = run(**kw)
+        for uid in base:
+            np.testing.assert_array_equal(got[uid], base[uid],
+                                          err_msg=f"{kw}, request {uid}")

@@ -176,8 +176,10 @@ def test_shard_map_tp_serving_matches_unsharded():
     tp_span = run(mesh=mesh, shard_map_tp=True, decode_span=4)
     tp_paged = run(mesh=mesh, shard_map_tp=True, paged=True, block_size=8)
     tp_unrolled = run(mesh=mesh, shard_map_tp=True, unroll_layers=True)
+    tp_chunked = run(mesh=mesh, shard_map_tp=True, prefill_chunk=8)
     for uid in base:
         np.testing.assert_array_equal(tp[uid], base[uid])
         np.testing.assert_array_equal(tp_span[uid], base[uid])
         np.testing.assert_array_equal(tp_paged[uid], base[uid])
         np.testing.assert_array_equal(tp_unrolled[uid], base[uid])
+        np.testing.assert_array_equal(tp_chunked[uid], base[uid])
