@@ -35,7 +35,7 @@ def build_cfg(tiny: bool):
                        num_kv_heads=32, head_dim=128, max_seq_len=2048)
 
 
-def random_packed_llama(cfg, dtype, groupsize=128):
+def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
     """Random weights directly in packed wire layout (fast: no pack step)."""
     import jax.numpy as jnp
     from gptq_for_llama_tpu.ops.linear import PackedLinear, dense
@@ -92,11 +92,14 @@ def random_packed_llama(cfg, dtype, groupsize=128):
         "embed_tokens": jnp.asarray(emb(v, h), dtype),
         "layers": layers,
         "norm": jnp.ones((h,), dtype),
-        "lm_head": dense(jnp.asarray(emb(v, h).T * 0.02, dtype)),
+        # --quantize-lm-head equivalent (BENCH_QHEAD=1): INT4 head instead of
+        # the reference's always-fp16 head (llama.py:270)
+        "lm_head": packed(h, v) if quant_head
+        else dense(jnp.asarray(emb(v, h).T * 0.02, dtype)),
     }
 
 
-def model_weight_bytes(cfg, groupsize=128):
+def model_weight_bytes(cfg, groupsize=128, quant_head=False):
     """HBM bytes read per decode token: packed buffers + dense lm_head."""
     h, inter = cfg.hidden_size, cfg.intermediate_size
     qh = cfg.num_heads * cfg.head_dim
@@ -107,6 +110,9 @@ def model_weight_bytes(cfg, groupsize=128):
                     + (k // groupsize) * n * 2 * 2  # scales + zeros (bf16)
                     for k, n in shapes)
     lm_head = cfg.vocab_size * h * 2                # bf16 dense
+    if quant_head:
+        lm_head = (h * cfg.vocab_size // 2
+                   + (h // groupsize) * cfg.vocab_size * 2 * 2)
     return cfg.num_layers * per_layer + lm_head
 
 
@@ -179,8 +185,9 @@ def main():
     tiny = os.environ.get("BENCH_TINY", "") == "1" or backend == "cpu"
     cfg = build_cfg(tiny)
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
-    stage(f"backend={backend} tiny={tiny}; building weights")
-    params = random_packed_llama(cfg, dtype)
+    quant_head = os.environ.get("BENCH_QHEAD", "") == "1"
+    stage(f"backend={backend} tiny={tiny} qhead={quant_head}; building weights")
+    params = random_packed_llama(cfg, dtype, quant_head=quant_head)
     jax.block_until_ready(params["embed_tokens"])
     stage("weights on device")
 
@@ -211,7 +218,7 @@ def main():
     stage(f"timed: {dt * 1e3:.2f} ms/token")
 
     bw = probe_hbm_bw() if backend != "cpu" else 10.0
-    roofline = bw * 1e9 / model_weight_bytes(cfg)
+    roofline = bw * 1e9 / model_weight_bytes(cfg, quant_head=quant_head)
     print(json.dumps({
         "metric": "llama7b_int4g128_decode_tokens_per_s_chip" if not tiny
                   else "tiny_llama_int4_decode_tokens_per_s",

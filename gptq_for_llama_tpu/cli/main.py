@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--act-order", action="store_true")
     p.add_argument("--true-sequential", action="store_true")
     p.add_argument("--observe", action="store_true")
+    p.add_argument("--quantize-lm-head", action="store_true",
+                   help="GPTQ the output head too (beyond the reference)")
     p.add_argument("--mse", action="store_true")
     p.add_argument("--chunk", type=int, default=16,
                    help="calibration microbatch (TPU memory knob)")
@@ -94,7 +96,8 @@ def main(argv=None):
         wbits=args.wbits, groupsize=args.groupsize, sym=args.sym,
         trits=args.trits, mse=args.mse, percdamp=args.percdamp,
         act_order=args.act_order, true_sequential=args.true_sequential,
-        nearest=args.nearest, observe=args.observe, chunk=args.chunk)
+        nearest=args.nearest, observe=args.observe, chunk=args.chunk,
+        quantize_lm_head=args.quantize_lm_head)
 
     needs_quant = (not args.load and args.wbits < 16
                    and not (args.benchmark and not args.save))

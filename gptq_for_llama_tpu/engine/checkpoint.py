@@ -75,6 +75,19 @@ def pack_model(arch_name: str, cfg, params, quantizers: dict[str, QuantRecord],
                 wire["qweight"], wire["qzeros"], wire["scales"], wire["g_idx"],
                 bits=rec.wbits, bias=None if bias is None else np.asarray(bias),
                 dtype=dtype))
+    for key in ("lm_head", "embed_out"):  # optional quantized output head
+        rec = quantizers.get(key)
+        lin = params.get(key)
+        if rec is None or not isinstance(lin, dict):
+            continue
+        w_t = np.asarray(lin["kernel"], dtype=np.float32).T
+        wire = packing.pack_quantized(w_t, rec.scale[:, :], rec.zero[:, :],
+                                      rec.g_idx, rec.wbits)
+        bias = lin.get("bias")
+        params[key] = PackedLinear.from_wire(
+            wire["qweight"], wire["qzeros"], wire["scales"], wire["g_idx"],
+            bits=rec.wbits, bias=None if bias is None else np.asarray(bias),
+            dtype=dtype)
     return params
 
 

@@ -160,10 +160,16 @@ def fuse_attention(params):
     return params
 
 
+def head_input(params, cfg: ModelConfig, x):
+    """The activation feeding lm_head (final norm output) — the calibration
+    tap for optional lm_head quantization (beyond the reference, which never
+    quantizes lm_head: llama.py:270)."""
+    return rms_norm(x, params["norm"], cfg.norm_eps)
+
+
 def head(params, cfg: ModelConfig, x):
     """Final norm + lm_head (reference: llama.py:241-253)."""
-    x = rms_norm(x, params["norm"], cfg.norm_eps)
-    return linear_apply(params["lm_head"], x)
+    return linear_apply(params["lm_head"], head_input(params, cfg, x))
 
 
 def forward(params, cfg: ModelConfig, input_ids, positions=None):

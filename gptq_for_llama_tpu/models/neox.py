@@ -112,10 +112,14 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     return y, taps, present
 
 
+def head_input(params, cfg: ModelConfig, x):
+    """Activation feeding embed_out (final layer norm output)."""
+    return layer_norm(x, params["final_layer_norm"]["w"],
+                      params["final_layer_norm"]["b"], cfg.norm_eps)
+
+
 def head(params, cfg: ModelConfig, x):
-    x = layer_norm(x, params["final_layer_norm"]["w"], params["final_layer_norm"]["b"],
-                   cfg.norm_eps)
-    return linear_apply(params["embed_out"], x)
+    return linear_apply(params["embed_out"], head_input(params, cfg, x))
 
 
 def forward(params, cfg: ModelConfig, input_ids, positions=None):

@@ -117,14 +117,19 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     return y, taps, present
 
 
-def head(params, cfg: ModelConfig, x):
-    """Final norm (+ project_out) + lm_head (reference: opt.py:207-220)."""
+def head_input(params, cfg: ModelConfig, x):
+    """Activation feeding lm_head (final norm + project_out)."""
     if cfg.do_layer_norm_before and "final_layer_norm" in params:
         x = layer_norm(x, params["final_layer_norm"]["w"], params["final_layer_norm"]["b"],
                        cfg.norm_eps)
     if "project_out" in params:
         x = linear_apply(params["project_out"], x)
-    return linear_apply(params["lm_head"], x)
+    return x
+
+
+def head(params, cfg: ModelConfig, x):
+    """Final norm (+ project_out) + lm_head (reference: opt.py:207-220)."""
+    return linear_apply(params["lm_head"], head_input(params, cfg, x))
 
 
 def forward(params, cfg: ModelConfig, input_ids, positions=None):

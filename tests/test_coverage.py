@@ -123,3 +123,48 @@ def test_cli_end_to_end(tmp_path, capsys):
     line = [l for l in captured.splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     assert res["tokens"] == 8 and np.isfinite(res["ppl"])
+
+
+def test_quantized_lm_head_roundtrip(tmp_path):
+    """Opt-in lm_head quantization (beyond the reference, llama.py:270):
+    GPTQ'd head packs, saves, reloads, and the packed model's logits equal the
+    fake-quantized dense model's logits (same exactness bar as layer linears)."""
+    import jax
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.data import get_loaders
+    from gptq_for_llama_tpu.engine import (QuantizeSpec, pack_model,
+                                           quantize_model)
+    from gptq_for_llama_tpu.engine.checkpoint import save_packed
+    from gptq_for_llama_tpu.models.hf_loader import load_params
+    from gptq_for_llama_tpu.models import registry
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+
+    cfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=16, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    train, _ = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=32, chunk=4, quantize_lm_head=True)
+    params, quantizers, _ = quantize_model("llama", cfg, params, train, spec,
+                                           verbose=False)
+    assert "lm_head" in quantizers
+    ids = jnp.asarray((np.arange(16) % cfg.vocab_size)[None].astype(np.int32))
+    fake_logits = np.asarray(arch.forward(params, cfg, ids), np.float32)
+
+    packed = pack_model("llama", cfg, params, quantizers, dtype=jnp.float32)
+    assert isinstance(packed["lm_head"], PackedLinear)
+    packed_logits = np.asarray(arch.forward(packed, cfg, ids), np.float32)
+    # wire scales are fp16 (reference format): packed differs from the f32
+    # fake-quant grid by scale-rounding; same-argmax + small relative error
+    np.testing.assert_allclose(packed_logits, fake_logits, atol=1e-2, rtol=1e-2)
+    np.testing.assert_array_equal(packed_logits.argmax(-1), fake_logits.argmax(-1))
+
+    out = str(tmp_path / "ckpt")
+    save_packed(out, "llama", cfg, packed, quantizers=quantizers, spec=spec)
+    cfg2, params2 = load_params(out, dtype=jnp.float32,
+                                seqlen=cfg.max_seq_len)
+    assert isinstance(params2["lm_head"], PackedLinear)
+    re_logits = np.asarray(arch.forward(params2, cfg2, ids), np.float32)
+    np.testing.assert_allclose(re_logits, packed_logits, atol=1e-5, rtol=1e-5)
