@@ -67,10 +67,76 @@ def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
+def _gqa_blocks(num_heads: int, num_kv_heads: int):
+    """(ht kv-heads per block, G q-heads per kv head) or None.
+
+    The q block covers ht*G contiguous q heads (q head order is kv-major:
+    h = kvh*G + g), so ht*G must be sublane-friendly (multiple of 8, <= 32)
+    and ht must divide num_kv_heads."""
+    if num_heads % num_kv_heads:
+        return None
+    g = num_heads // num_kv_heads
+    for ht in (32, 16, 8, 4, 2, 1):
+        if num_kv_heads % ht:
+            continue
+        htq = ht * g
+        if htq <= 32 and htq % 8 == 0:
+            return ht, g
+    return None
+
+
 def supports_decode_attention(q_len: int, num_heads: int, num_kv_heads: int,
                               head_dim: int) -> bool:
-    return (q_len == 1 and num_heads == num_kv_heads
-            and head_dim % 128 == 0 and num_heads % 8 == 0)
+    return (q_len == 1 and head_dim % 128 == 0
+            and _gqa_blocks(num_heads, num_kv_heads) is not None)
+
+
+def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
+                     l_ref, *, scale: float, seq_block: int, ht: int, g: int):
+    """GQA variant: the q block holds ht*G q heads grouped per kv head; the
+    cache block is DMA'd ONCE per kv head for all its G q heads (the XLA
+    fallback repeats k/v G times — G x the HBM traffic). In-VMEM the kv heads
+    are expanded by sublane concat (Mosaic rejects the reshape form) and the
+    math is identical to the MHA kernel."""
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    off = off_ref[bi]
+
+    @pl.when(si == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    base = si * seq_block
+
+    @pl.when(base <= off)
+    def _():
+        q = q_ref[0].astype(jnp.float32)                     # (Ht*G, D)
+        k = k_ref[0].astype(jnp.float32)                     # (BS, Ht, D)
+        v = v_ref[0].astype(jnp.float32)
+        # expand kv heads G-fold along the head (sublane) dim: q head
+        # kvh*G + j pairs with kv head kvh
+        k = jnp.concatenate(
+            [k[:, i:i + 1, :] for i in range(ht) for _ in range(g)], axis=1)
+        v = jnp.concatenate(
+            [v[:, i:i + 1, :] for i in range(ht) for _ in range(g)], axis=1)
+        logits = jnp.sum(q[None, :, :] * k, axis=-1) * scale  # (BS, Ht*G)
+        kj = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + base
+        logits = jnp.where(kj <= off, logits, -jnp.inf)
+        m_blk = jnp.max(logits, axis=0)
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, m_blk)
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new[None, :])
+        l_ref[0] = l_ref[0] * corr + jnp.sum(p, axis=0)
+        acc_ref[:] = acc_ref[:] * corr[:, None] \
+            + jnp.sum(p[:, :, None] * v, axis=0)
+        m_ref[0] = m_new
+
+    @pl.when(si == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -82,8 +148,9 @@ def decode_attention(q, k_cache, v_cache, offset, scale: float,
     current token's k/v must already be written at slot `offset`).
     """
     b, _, h, d = q.shape
+    hkv = k_cache.shape[2]
     s = k_cache.shape[1]
-    ht = 16 if h % 16 == 0 else 8
+    ht, g = _gqa_blocks(h, hkv)
     bs = _SEQ_BLOCK if s % _SEQ_BLOCK == 0 else s
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
 
@@ -93,22 +160,32 @@ def decode_attention(q, k_cache, v_cache, offset, scale: float,
         sb = jnp.minimum(si, off_ref[bi] // bs)
         return (bi, sb, hi, 0)
 
-    grid = (b, h // ht, s // bs)
+    htq = ht * g
+    grid = (b, hkv // ht, s // bs)
+    if g == 1:
+        kernel = functools.partial(_attn_kernel, scale=scale, seq_block=bs)
+        scratch = [pltpu.VMEM((ht, d), jnp.float32),
+                   pltpu.VMEM((1, ht), jnp.float32),
+                   pltpu.VMEM((1, ht), jnp.float32)]
+    else:
+        kernel = functools.partial(_attn_kernel_gqa, scale=scale,
+                                   seq_block=bs, ht=ht, g=g)
+        scratch = [pltpu.VMEM((htq, d), jnp.float32),
+                   pltpu.VMEM((1, htq), jnp.float32),
+                   pltpu.VMEM((1, htq), jnp.float32)]
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, seq_block=bs),
+        kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, ht, d), lambda bi, hi, si, off: (bi, hi, 0)),
+                pl.BlockSpec((1, htq, d), lambda bi, hi, si, off: (bi, hi, 0)),
                 pl.BlockSpec((1, bs, ht, d), kv_map),
                 pl.BlockSpec((1, bs, ht, d), kv_map),
             ],
-            out_specs=pl.BlockSpec((1, ht, d),
+            out_specs=pl.BlockSpec((1, htq, d),
                                    lambda bi, hi, si, off: (bi, hi, 0)),
-            scratch_shapes=[pltpu.VMEM((ht, d), jnp.float32),
-                            pltpu.VMEM((1, ht), jnp.float32),
-                            pltpu.VMEM((1, ht), jnp.float32)],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -32,5 +32,33 @@ def test_decode_attention_matches_sdpa(b, offset):
 def test_supports_gates():
     assert supports_decode_attention(1, 32, 32, 128)
     assert not supports_decode_attention(2, 32, 32, 128)   # prefill
-    assert not supports_decode_attention(1, 32, 8, 128)    # GQA (XLA path)
+    assert supports_decode_attention(1, 32, 8, 128)        # GQA kernel
     assert not supports_decode_attention(1, 32, 32, 64)    # head_dim < 128
+
+
+@pytest.mark.parametrize("h,hkv", [(32, 8), (8, 1), (16, 2)])
+def test_decode_attention_gqa(h, hkv):
+    """GQA decode kernel: the cache is read once per kv head for all G query
+    heads (the XLA fallback repeats it G times)."""
+    from gptq_for_llama_tpu.ops.pallas.attention import (
+        decode_attention, supports_decode_attention)
+    B, S, D = 2, 64, 128
+    assert supports_decode_attention(1, h, hkv, D)
+    rng = np.random.default_rng(h * 10 + hkv)
+    q = jnp.asarray(rng.standard_normal((B, 1, h, D)) * 0.2, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, hkv, D)) * 0.2, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, hkv, D)) * 0.2, jnp.float32)
+    for off in (0, 5, 40, 63):
+        got = np.asarray(decode_attention(q, k, v, jnp.int32(off),
+                                          float(1 / np.sqrt(D)),
+                                          interpret=True))
+        g = h // hkv
+        kk = np.repeat(np.asarray(k), g, axis=2)
+        vv = np.repeat(np.asarray(v), g, axis=2)
+        lo = np.einsum("bqhd,bshd->bhqs", np.asarray(q), kk) / np.sqrt(D)
+        lo[:, :, :, off + 1:] = -np.inf
+        p = np.exp(lo - lo.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        want = np.einsum("bhqs,bshd->bqhd", p, vv)
+        np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3,
+                                   err_msg=f"h={h} hkv={hkv} off={off}")
