@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--max-new", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=16)
     ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--chunk", type=int, default=0,
+                    help="prefill_chunk size (0 = bucketed whole-prompt)")
     args = ap.parse_args()
 
     def stage(msg, _t=[time.perf_counter()]):
@@ -49,10 +51,11 @@ def main():
             for uid in range(n)]
 
     for span in (1, args.span):
+        kw = dict(prefill_chunk=args.chunk) if args.chunk else {}
         engine = ServingEngine("llama", cfg, params, batch_slots=args.slots,
                                max_seq_len=args.max_len,
                                prefill_buckets=(args.prompt_len,),
-                               decode_span=span)
+                               decode_span=span, **kw)
         for r in requests(args.slots):  # warmup: compile prefill+decode(+span)
             engine.submit(r)
         engine.run()
