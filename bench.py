@@ -30,6 +30,11 @@ def build_cfg(tiny: bool):
         return ModelConfig(arch="llama", vocab_size=256, hidden_size=256,
                            intermediate_size=512, num_layers=2, num_heads=4,
                            num_kv_heads=4, head_dim=64, max_seq_len=256)
+    if os.environ.get("BENCH_MODEL", "7b") == "13b":
+        return ModelConfig(arch="llama", vocab_size=32000, hidden_size=5120,
+                           intermediate_size=13824, num_layers=40,
+                           num_heads=40, num_kv_heads=40, head_dim=128,
+                           max_seq_len=2048)
     return ModelConfig(arch="llama", vocab_size=32000, hidden_size=4096,
                        intermediate_size=11008, num_layers=32, num_heads=32,
                        num_kv_heads=32, head_dim=128, max_seq_len=2048)
@@ -220,8 +225,10 @@ def main():
     bw = probe_hbm_bw() if backend != "cpu" else 10.0
     roofline = bw * 1e9 / model_weight_bytes(cfg, quant_head=quant_head)
     print(json.dumps({
-        "metric": "llama7b_int4g128_decode_tokens_per_s_chip" if not tiny
-                  else "tiny_llama_int4_decode_tokens_per_s",
+        "metric": ("tiny_llama_int4_decode_tokens_per_s" if tiny else
+                   "llama13b_int4g128_decode_tokens_per_s_chip"
+                   if os.environ.get("BENCH_MODEL", "7b") == "13b" else
+                   "llama7b_int4g128_decode_tokens_per_s_chip"),
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),

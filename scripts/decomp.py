@@ -114,6 +114,9 @@ VARIANTS = {
                      "attn": False, "embed": False, "head": False},
     "full_unroll": {"unroll": True},
     "unroll_list": {"unroll": True, "list_params": True},
+    "unroll_noattn": {"unroll": True, "list_params": True, "attn": False},
+    "unroll_nohead": {"unroll": True, "list_params": True, "head": False},
+    "unroll_xla_attn": {"unroll": True, "list_params": True, "xla_attn": True},
     "xla_attn": {"xla_attn": True},
 }
 BASE.update(unroll=False, list_params=False, xla_attn=False)
