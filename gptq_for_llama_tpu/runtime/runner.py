@@ -125,6 +125,11 @@ class ModelRunner:
             self._step_params = tp_model.place_step_params(
                 self._step_params, mesh, self._sp_specs)
         self._prefill_cache: dict[int, callable] = {}
+        # token-scan partial unroll: each lax.scan iteration pays a fixed
+        # per-iteration cost on the dispatch path (~0.6 ms through the axon
+        # relay); unrolling 4 steps per iteration amortizes it
+        # (7.44 -> 6.98 ms/token measured; scripts/decomp.py unroll_tok4)
+        self._token_unroll = 4 if jax.default_backend() == "tpu" else 1
         self._decode = jax.jit(self._step_fn(1))
         self._decode_scan_cache: dict[int, callable] = {}
 
@@ -254,7 +259,8 @@ class ModelRunner:
                                      axis=-1).astype(jnp.int32)[:, None]
                     return (nxt, cache), nxt[:, 0]
                 (_, cache), toks = jax.lax.scan(body, (tok0, cache), None,
-                                                length=steps)
+                                                length=steps,
+                                                unroll=self._token_unroll)
                 return jnp.swapaxes(toks, 0, 1), cache
 
             self._decode_scan_cache[steps] = run
@@ -279,7 +285,8 @@ class ModelRunner:
                     logits, cache = step(sp, tok[:, None], cache)
                     return cache, logits[:, -1]
                 cache, logits = jax.lax.scan(body, cache,
-                                             jnp.swapaxes(ids, 0, 1))
+                                             jnp.swapaxes(ids, 0, 1),
+                                             unroll=self._token_unroll)
                 return logits[-1][:, None], cache
 
             self._decode_scan_cache[key] = run

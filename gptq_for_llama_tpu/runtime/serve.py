@@ -285,8 +285,10 @@ class ServingEngine:
                 return (nxt[:, None], k, v, off), nxt
 
             subs = jax.random.split(key, span)
+            # partial unroll amortizes the per-scan-iteration dispatch floor
             (toks, k, v, off), all_toks = jax.lax.scan(
-                body, (toks, k_cache, v_cache, offsets), subs)
+                body, (toks, k_cache, v_cache, offsets), subs,
+                unroll=min(4, span) if jax.default_backend() == "tpu" else 1)
             return jnp.swapaxes(all_toks, 0, 1), k, v, off  # (B, span)
 
         if self._tp is not None:

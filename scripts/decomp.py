@@ -117,12 +117,14 @@ VARIANTS = {
     "unroll_noattn": {"unroll": True, "list_params": True, "attn": False},
     "unroll_nohead": {"unroll": True, "list_params": True, "head": False},
     "unroll_xla_attn": {"unroll": True, "list_params": True, "xla_attn": True},
+    "unroll_tok2": {"unroll": True, "list_params": True, "scan_unroll": 2},
+    "unroll_tok4": {"unroll": True, "list_params": True, "scan_unroll": 4},
     "xla_attn": {"xla_attn": True},
 }
 BASE.update(unroll=False, list_params=False, xla_attn=False)
 
 
-def timed_step(step, sp, cache, iters, reps):
+def timed_step(step, sp, cache, iters, reps, scan_unroll=1):
     """One lax.scan of `iters` decode steps per program (bench methodology);
     the per-scan-iteration relay floor is common to every variant and cancels
     in differences vs 'full'."""
@@ -137,7 +139,8 @@ def timed_step(step, sp, cache, iters, reps):
                              axis=-1).astype(jnp.int32)[:, None]
             cache = KVCache(cache.k, cache.v, cache.offset * 0 + 16)
             return (tok, cache), tok[0, 0]
-        (_, _), toks = jax.lax.scan(body, (tok, cache), None, length=iters)
+        (_, _), toks = jax.lax.scan(body, (tok, cache), None, length=iters,
+                                    unroll=scan_unroll)
         return toks
 
     np.asarray(loop(sp, tok0, cache))
@@ -172,7 +175,8 @@ def main():
         spv = sp
         if flags.get("list_params"):
             spv = dict(sp, layers=params["layers"])
-        t = timed_step(step, spv, cache, args.iters, args.reps)
+        t = timed_step(step, spv, cache, args.iters, args.reps,
+                       scan_unroll=flags.get("scan_unroll", 1))
         results[name] = t
         delta = ""
         if name != "full" and "full" in results:
