@@ -107,8 +107,8 @@ class ModelRunner:
         # 7B decode step (scripts/decomp.py unroll_list). Default: unrolled on
         # TPU (perf), scanned elsewhere (compile time; CPU tests).
         if unroll_layers is None:
-            unroll_layers = jax.default_backend() == "tpu" and self._tp is None
-        self.unrolled = bool(unroll_layers) and self._tp is None
+            unroll_layers = jax.default_backend() == "tpu"
+        self.unrolled = bool(unroll_layers)
         self.stacked = None if self.unrolled else stack_layers(params["layers"])
         # everything the jitted step reads must be an ARGUMENT, not a closure
         # capture — closed-over arrays get baked into the program as constants
@@ -168,6 +168,11 @@ class ModelRunner:
     def _cache_specs(self):
         from jax.sharding import PartitionSpec as P
         t = self._tp
+        if self.unrolled:
+            kv = P(t["dp_axis"], None, t["axis"], None)  # per-layer leaves
+            n = len(self.params["layers"])
+            return KVCache(tuple(kv for _ in range(n)),
+                           tuple(kv for _ in range(n)), P())
         kv = P(None, t["dp_axis"], None, t["axis"], None)
         return KVCache(kv, kv, P())
 
@@ -195,9 +200,7 @@ class ModelRunner:
         cfg_l, axis, tp = t["cfg_local"], t["axis"], t["tp"]
 
         def step_local(sp, ids, cache: KVCache):
-            sp = dict(sp)
-            sp["stacked"] = tp_model.localize_layer_aux(self.arch_name,
-                                                        sp["stacked"], tp)
+            sp = tp_model.localize_step_params(self.arch_name, sp, tp)
             statics = sp["statics"]
             positions = cache.offset + jnp.arange(s)[None, :]
             mask = decode_mask(s, self.max_len, cache.offset)
@@ -222,11 +225,13 @@ class ModelRunner:
         if self._tp is not None:
             from jax.sharding import NamedSharding
             specs = self._cache_specs()
-            cache = KVCache(
-                jax.device_put(cache.k, NamedSharding(self._tp["mesh"], specs.k)),
-                jax.device_put(cache.v, NamedSharding(self._tp["mesh"], specs.v)),
-                jax.device_put(cache.offset,
-                               NamedSharding(self._tp["mesh"], specs.offset)))
+            put = lambda x, sp: jax.tree_util.tree_map(
+                lambda a, s: jax.device_put(
+                    a, NamedSharding(self._tp["mesh"], s)), x, sp)
+            cache = KVCache(put(cache.k, specs.k), put(cache.v, specs.v),
+                            jax.device_put(cache.offset,
+                                           NamedSharding(self._tp["mesh"],
+                                                         specs.offset)))
         return cache
 
     def prefill(self, ids, cache: KVCache):

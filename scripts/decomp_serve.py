@@ -20,7 +20,8 @@ from gptq_for_llama_tpu.runtime.serve import ServingEngine
 def main():
     cfg = benchmod.build_cfg(tiny=False)
     params = benchmod.random_packed_llama(cfg, jnp.bfloat16)
-    B, S = 8, 256
+    import os
+    B, S = int(os.environ.get('DS_B', 8)), int(os.environ.get('DS_S', 256))
     eng = ServingEngine("llama", cfg, params, batch_slots=B, max_seq_len=S,
                         prefill_buckets=(16,), unroll_layers=True)
     step = eng._decode_step_fn

@@ -183,3 +183,23 @@ def test_shard_map_tp_serving_matches_unsharded():
         np.testing.assert_array_equal(tp_paged[uid], base[uid])
         np.testing.assert_array_equal(tp_unrolled[uid], base[uid])
         np.testing.assert_array_equal(tp_chunked[uid], base[uid])
+
+
+def test_shard_map_tp_unrolled_runner():
+    """TP + unrolled layers (the real-pod perf mode: per-shard Pallas kernels
+    AND no scanned-weight materialization) matches the unsharded runner."""
+    cfg = CFGS["llama"]
+    params = _build("llama", cfg)
+    ids = jnp.asarray((np.arange(16) % cfg.vocab_size)[None].astype(np.int32))
+    base = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                       dtype=jnp.float32)
+    want_logits, want_toks = _run_steps(base, ids)
+
+    mesh = make_mesh(tp=4, dp=1)
+    tpr = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                      dtype=jnp.float32, mesh=mesh, shard_map_tp=True,
+                      unroll_layers=True)
+    assert tpr.unrolled and isinstance(tpr.init_cache().k, tuple)
+    got_logits, got_toks = _run_steps(tpr, ids)
+    np.testing.assert_array_equal(got_toks, want_toks)
+    np.testing.assert_allclose(got_logits, want_logits, atol=3e-4, rtol=1e-3)
