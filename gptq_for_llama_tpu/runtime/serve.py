@@ -30,7 +30,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..models.registry import get_arch
 from ..models.common import decode_mask
-from .runner import KVCache, sample_logits, stack_layers
+from .runner import sample_logits, stack_layers
 
 
 @dataclasses.dataclass
