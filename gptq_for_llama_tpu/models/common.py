@@ -132,6 +132,21 @@ def apply_kv_cache(past_kv, k, v):
     """
     if past_kv is None:
         return k, v, (k, v), None
+    if past_kv[0] == "grouped":
+        # token-fused serving step: rows 0..B-1 are one decode token per slot,
+        # rows B.. are a prompt chunk for slot `slot` starting at off0. ONE
+        # weight pass serves both groups; the cache write and attention split
+        # here (runtime/serve.py fused_chunk_decode, weights-once form).
+        _, ck, cv, offsets, live, slot, off0, b_dec = past_kv
+        k_dec, v_dec = k[0, :b_dec][:, None], v[0, :b_dec][:, None]
+        k_chunk, v_chunk = k[0, b_dec:][None], v[0, b_dec:][None]
+        ck = jax.lax.dynamic_update_slice(ck, k_chunk.astype(ck.dtype),
+                                          (slot, off0, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v_chunk.astype(cv.dtype),
+                                          (slot, off0, 0, 0))
+        ck, cv = update_kv_cache(ck, cv, k_dec, v_dec, offsets,
+                                 write_mask=live)
+        return ck, cv, (ck, cv), ("grouped", offsets, slot, off0, b_dec)
     if past_kv[0] == "paged":
         _, kp, vp, tables, offset = past_kv[:5]
         write_mask = past_kv[5] if len(past_kv) > 5 else None
@@ -168,6 +183,21 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     prefills to the VMEM-resident flash kernel on TPU.
     """
     b, sq, h, d = q.shape
+    if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
+        # token-fused serving step (see apply_kv_cache "grouped"): split the
+        # flat token rows into the per-slot decode group and the one-slot
+        # chunk group; each attends its own cache view. k/v here ARE the
+        # updated caches (B, S, Hkv, D).
+        _, offsets, slot, off0, b_dec = decode_offset
+        q_dec = q[0, :b_dec][:, None]                      # (B, 1, H, D)
+        m_dec = decode_mask(1, k.shape[1], offsets)  # for the XLA fallback
+        out_dec = sdpa(q_dec, k, v, m_dec, scale, decode_offset=offsets)
+        q_chunk = q[0, b_dec:][None]                       # (1, C, H, D)
+        kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)
+        vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)
+        m = decode_mask(q_chunk.shape[1], k.shape[1], off0)
+        out_chunk = sdpa(q_chunk, kc, vc, m, scale)
+        return jnp.concatenate([out_dec[:, 0][None], out_chunk], axis=1)
     if causal and decode_offset is None and sq > 256:
         import os
         forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")

@@ -407,9 +407,57 @@ class ServingEngine:
         self._get_chunk_prefill()  # builds self._chunk_raw
         chunk_raw = self._chunk_raw
         decode_raw = self._decode_step_fn
+        arch, cfg = self.arch, self._model_cfg()
+        b_dec, blen = self.b, self.prefill_chunk
+
+        def fused_tokens(sp, toks, k, v, off, live, tables,
+                         chunk_ids, slotarg, off0, last_idx):
+            """Weights-once form (dense caches): the B decode tokens and the
+            C chunk tokens ride ONE flat (1, B+C) token batch through the
+            layer stack — every packed weight is read once for both groups.
+            The cache write/attention split lives in the "grouped" cache
+            protocol (models/common.apply_kv_cache / sdpa)."""
+            ids_flat = jnp.concatenate([toks[:, 0], chunk_ids[0]])[None]
+            positions = jnp.concatenate(
+                [off, off0 + jnp.arange(blen)])[None]
+            rope = arch.step_rope(cfg, positions, self.dtype)
+            x = arch.embed(sp["statics"], cfg, ids_flat,
+                           positions).astype(self.dtype)
+
+            def past(ck, cv):
+                return ("grouped", ck, cv, off, live, slotarg, off0, b_dec)
+
+            tp_ctx = self._tp_ctx()
+            if sp["stacked"] is not None:
+                def body(xc, layer_in):
+                    lp, ck, cv = layer_in
+                    y, _, (ck2, cv2) = arch.layer(cfg, lp, xc, positions,
+                                                  None, past(ck, cv),
+                                                  rope=rope, tp_ctx=tp_ctx)
+                    return y, (ck2, cv2)
+                x, (k, v) = jax.lax.scan(body, x, (sp["stacked"], k, v))
+            else:
+                ks, vs = [], []
+                for li, lp in enumerate(sp["layers"]):
+                    x, _, (k2, v2) = arch.layer(cfg, lp, x, positions, None,
+                                                past(k[li], v[li]),
+                                                rope=rope, tp_ctx=tp_ctx)
+                    ks.append(k2)
+                    vs.append(v2)
+                k, v = (tuple(ks), tuple(vs)) if isinstance(k, tuple) \
+                    else (jnp.stack(ks), jnp.stack(vs))
+            logits_flat = arch.head(sp["statics"], cfg, x)[0]  # (T, V)
+            logits = logits_flat[:b_dec]                       # decode rows
+            clast = logits_flat[b_dec + last_idx][None]        # chunk last
+            new_off = jnp.where(live, off + 1, off)
+            return logits, clast, k, v, new_off
 
         def fused(sp, toks, k, v, off, live, tables,
                   chunk_ids, slotarg, off0, last_idx):
+            if tables is None:  # dense: weights-once token fusion
+                return fused_tokens(sp, toks, k, v, off, live, tables,
+                                    chunk_ids, slotarg, off0, last_idx)
+            # paged: two passes sharing one program (one dispatch)
             clast, k, v = chunk_raw(sp, chunk_ids, k, v, slotarg, off0,
                                     last_idx)
             logits, k, v, off = decode_raw(sp, toks, k, v, off, live, tables)
