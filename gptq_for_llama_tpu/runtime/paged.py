@@ -22,12 +22,19 @@ import numpy as np
 
 @dataclasses.dataclass
 class BlockAllocator:
-    """Host-side free-list over the physical block pool."""
+    """Host-side free-list over the physical block pool.
+
+    `reserved` low block indices are never handed out — the serving engine
+    keeps block 0 as a scratch block so the 0 filler in unowned block-table
+    entries aliases no slot's cache (overshoot writes from multi-step decode
+    spans land there harmlessly instead of corrupting a neighbor).
+    """
 
     num_blocks: int
+    reserved: int = 0
 
     def __post_init__(self):
-        self.free = list(range(self.num_blocks - 1, -1, -1))
+        self.free = list(range(self.num_blocks - 1, self.reserved - 1, -1))
         self.owned: dict[int, list[int]] = {}
 
     def alloc(self, slot: int, n: int) -> list[int]:

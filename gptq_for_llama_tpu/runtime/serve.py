@@ -537,8 +537,14 @@ class ServingEngine:
                     blen_need = -(-plen // c) * c  # chunk-padded writes
                 else:
                     blen_need = _bucket(plen, self.buckets)
-                tokens = min(max(blen_need, plen + req_peek.max_new_tokens),
-                             self.max_len)
+                # span slack: a slot retiring mid-span keeps decoding on
+                # device with the stale live mask for up to span-1 extra
+                # steps — those overshoot writes must land in blocks this
+                # slot OWNS (or the scratch block), never in filler-aliased
+                # blocks of another slot
+                tokens = min(max(blen_need, plen + req_peek.max_new_tokens
+                                 + self.decode_span - 1),
+                             self.logical_len)
                 try:
                     self._paged_alloc.release(i)
                     blocks = self._paged_alloc.ensure_capacity(
@@ -594,9 +600,13 @@ class ServingEngine:
         """Drain the queue; returns {uid: generated token array}."""
         if self.paged:
             from .paged import BlockAllocator
-            self._paged_alloc = BlockAllocator(self.num_blocks)
+            # +1 physical block: index 0 is a reserved scratch block (the
+            # table filler value), so unowned-entry writes never alias a
+            # slot's cache; the user-visible pool stays num_blocks usable
+            pool_blocks = self.num_blocks + 1
+            self._paged_alloc = BlockAllocator(pool_blocks, reserved=1)
             self._tables_np = np.zeros((self.b, self.max_blocks), np.int32)
-            lshape = (self.num_blocks, self.block_size,
+            lshape = (pool_blocks, self.block_size,
                       self.cfg.num_kv_heads, self.cfg.head_dim)
         else:
             lshape = (self.b, self.max_len,

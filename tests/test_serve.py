@@ -165,6 +165,45 @@ def test_decode_span_matches_single_step():
         np.testing.assert_array_equal(spanned_paged[uid], base[uid])
 
 
+def test_paged_span_midspan_retirement_no_corruption():
+    """Regression (advisor round 1): in paged mode with decode_span >
+    block_size, a slot retiring mid-span keeps decoding on device with the
+    stale live mask — its offset overshoots the allocated blocks and, before
+    the fix, overshoot tokens were written through 0-filler table entries
+    into physical block 0 (another slot's cache). The fix allocates span
+    slack in _admit and reserves a dedicated scratch block for the filler."""
+    # larger vocab than _setup: greedy argmax must be sensitive enough that
+    # a corrupted position-0 KV actually flips tokens (verified to fail
+    # against the pre-fix code)
+    cfg = ModelConfig(arch="llama", vocab_size=256, hidden_size=32,
+                      intermediate_size=64, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=8, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    # slot 0 (admitted first, owns the lowest physical blocks incl. block 0
+    # pre-fix) decodes long; slot 1 retires after 3 tokens, mid-span — its
+    # overshoot writes went through filler entries into slot 0's first block
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([9, 8], np.int32)]
+    max_new = [18, 3]
+
+    def run(**kw):
+        eng = ServingEngine("llama", cfg, params, batch_slots=2,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p,
+                                  max_new_tokens=max_new[uid],
+                                  temperature=0.0))
+        return eng.run()
+
+    base = run()
+    got = run(decode_span=8, paged=True, block_size=4)
+    for uid in base:
+        np.testing.assert_array_equal(got[uid], base[uid],
+                                      err_msg=f"request {uid}")
+
+
 def test_chunked_prefill_concurrent_decode_write_mask():
     """Regression: a batched decode step must not clobber rows of a slot that
     is mid-chunked-prefill (its stale offset points into prompt rows that
