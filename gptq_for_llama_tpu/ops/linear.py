@@ -57,17 +57,27 @@ class PackedLinear:
     # 'wire' = reference row-major nibble order; 'tpu' = group-local nibble
     # interleave so kernels unpack by concat (see quant/packing.py TPU layout)
     layout: str = "wire"
+    # original wire-precision fp16 scales, UNPADDED (G, N) — compute never
+    # reads this; to_wire returns it so a load->save round trip is
+    # byte-identical even when the compute `scales` dtype (bf16) cannot
+    # represent fp16 exactly. None on shard-local TP params (not a save path).
+    scales_wire: Optional[jax.Array] = None
 
     def tree_flatten(self):
         children = (self.qweight, self.qzeros, self.scales, self.zeros,
-                    self.g_idx, self.perm, self.bias)
+                    self.g_idx, self.perm, self.bias, self.scales_wire)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features,
                self.layout)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (qweight, qzeros, scales, zeros, g_idx, perm, bias,
+         scales_wire) = children
+        bits, groupsize, in_features, out_features, layout = aux
+        return cls(qweight, qzeros, scales, zeros, g_idx, perm, bias,
+                   bits, groupsize, in_features, out_features, layout,
+                   scales_wire)
 
     @classmethod
     def from_wire(cls, qweight, qzeros, scales, g_idx, bits: int,
@@ -89,22 +99,23 @@ class PackedLinear:
             qweight = packing.pack_rows(codes[perm], bits)
 
         zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
+        # wire scales are fp16 by format; keep the exact buffer for to_wire
+        # (the compute dtype below may be bf16, which cannot represent fp16)
+        scales_wire = np.asarray(scales, np.float16)
 
         layout = "wire"
         kp = k
         if packing.tpu_layout_supported(k, bits, groupsize):
-            # pad K to a multiple of 8*groupsize (static gpt=8 kernel tiling)
+            # pad K to a multiple of 8*groupsize so kernels always tile at
+            # gpt=8 (static scale-row slices, no giant full-K unrolled loop)
             # when the inflation stays under 12.5%; otherwise keep K and let
-            # the kernel use its full-K tile plan
+            # the kernel use its full-K tile plan. Padded rows carry zero
+            # codes and a dummy group (scale 1, zero 0); the kernel pads x
+            # with zeros, so they contribute exactly nothing (dot-then-scale:
+            # both p and sum(x) vanish on the pad).
             cand = -(-k // (8 * groupsize)) * (8 * groupsize)
             if (k // groupsize) % 8 != 0 and (cand - k) * 8 <= k:
                 kp = cand
-        if packing.tpu_layout_supported(k, bits, groupsize):
-            # pad K to a multiple of 8*groupsize so kernels always tile at
-            # gpt=8 (static scale-row slices, no giant full-K unrolled loop).
-            # Padded rows carry zero codes and a dummy group (scale 1, zero 0);
-            # the kernel pads x with zeros, so they contribute exactly nothing
-            # (dot-then-scale: both p and sum(x) vanish on the pad).
             if kp != k:
                 codes = packing.unpack_rows(np.asarray(qweight), bits, k=k)
                 codes = np.pad(codes, ((0, kp - k), (0, 0)))
@@ -127,6 +138,7 @@ class PackedLinear:
             bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
             layout=layout,
+            scales_wire=jnp.asarray(scales_wire),
         )
 
     @staticmethod
@@ -160,12 +172,16 @@ class PackedLinear:
                  for l in linears])
         else:
             bias = None
+        scales_wire = None
+        if all(l.scales_wire is not None for l in linears):
+            scales_wire = jnp.concatenate([l.scales_wire for l in linears],
+                                          axis=1)
         return PackedLinear(
             qweight=qweight, qzeros=qzeros, scales=scales, zeros=zeros,
             g_idx=a.g_idx, perm=a.perm, bias=bias, bits=a.bits,
             groupsize=a.groupsize, in_features=a.in_features,
             out_features=int(sum(l.out_features for l in linears)),
-            layout=a.layout)
+            layout=a.layout, scales_wire=scales_wire)
 
     def to_wire(self) -> dict:
         """Reference wire-format numpy buffers (original, unsorted row order).
@@ -187,10 +203,13 @@ class PackedLinear:
             qweight = packing.pack_rows(codes[inv], self.bits)
         g = k // self.groupsize if self.groupsize > 0 and k % self.groupsize == 0 \
             else self.scales.shape[0]
+        scales = (np.asarray(self.scales_wire, dtype=np.float16)
+                  if self.scales_wire is not None
+                  else np.asarray(self.scales, dtype=np.float16))
         out = {
             "qweight": qweight,
             "qzeros": np.asarray(self.qzeros),
-            "scales": np.asarray(self.scales, dtype=np.float16)[:g],
+            "scales": scales[:g],
             "g_idx": np.asarray(self.g_idx),
         }
         if self.bias is not None:

@@ -107,3 +107,37 @@ def test_3bit_needs_32_rows():
 def test_unsupported_bits():
     with pytest.raises(NotImplementedError):
         packing.pack_rows(np.zeros((32, 4), dtype=np.int32), 5)
+
+
+@pytest.mark.parametrize("actorder", [False, True])
+def test_wire_roundtrip_byte_identical_bf16(actorder):
+    """Regression (advisor round 1): loading a reference checkpoint into a
+    bf16 model and saving it back must be BYTE-identical — including the fp16
+    scales, which bf16 cannot represent. PackedLinear keeps the original
+    wire-precision scales buffer (scales_wire) for to_wire."""
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+
+    rng = np.random.RandomState(3)
+    k, n, bits, gs = 2176, 128, 4, 32  # G=68: also exercises the K padding
+    g = k // gs
+    codes = rng.randint(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    qweight = packing.pack_rows(codes, bits)
+    qzeros = packing.pack_cols(
+        rng.randint(1, 2 ** bits, size=(g, n)).astype(np.uint32) - 1, bits)
+    scales = (rng.rand(g, n).astype(np.float32) * 0.02 + 0.005).astype(
+        np.float16)  # wire format stores fp16
+    g_idx = (np.arange(k) // gs).astype(np.int32)
+    if actorder:
+        # non-monotone g_idx triggers the group-sort row permutation path;
+        # byte round-trip only needs consistent buffers, not solver output
+        g_idx = g_idx[rng.permutation(k)]
+
+    lin = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=bits,
+                                 dtype=jnp.bfloat16)
+    assert lin.scales.dtype == jnp.bfloat16
+    wire = lin.to_wire()
+    np.testing.assert_array_equal(wire["qweight"], qweight)
+    np.testing.assert_array_equal(wire["qzeros"], qzeros)
+    np.testing.assert_array_equal(wire["g_idx"], g_idx)
+    assert wire["scales"].dtype == np.float16
+    assert wire["scales"].tobytes() == scales.tobytes()
