@@ -9,6 +9,7 @@ quant/packing.py when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -21,18 +22,32 @@ _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), "native", "packlib.cpp")
-_SO = os.path.join(os.path.dirname(_SRC), "packlib.so")
 
 
 def _build() -> str | None:
-    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
-        return _SO
+    """Build (or reuse) the shared library, cached by SOURCE HASH.
+
+    mtime-based caching is wrong for git checkouts (checkout does not
+    preserve mtimes, so a stale binary could shadow newer source), and a
+    committed -march=native binary is host-specific; the library is never
+    committed — each host builds its own, keyed on the source contents.
+    """
     try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    except OSError:
+        return None
+    so = os.path.join(os.path.dirname(_SRC), f"packlib-{digest}.so")
+    if os.path.exists(so):
+        return so
+    try:
+        tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-march=native",
-             _SRC, "-o", _SO],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
-        return _SO
+        os.replace(tmp, so)  # atomic: concurrent builders race benignly
+        return so
     except Exception:
         return None
 
@@ -62,9 +77,9 @@ def get_lib():
                                         ctypes.c_int64, ctypes.c_int]
             lib.quantize_to_codes.argtypes = [f32p, f32p, f32p, i32p, u32p,
                                               ctypes.c_int64, ctypes.c_int64,
-                                              ctypes.c_int64, ctypes.c_int]
+                                              ctypes.c_int64]
             lib.packlib_version.restype = ctypes.c_int
-            assert lib.packlib_version() == 1
+            assert lib.packlib_version() == 2
             _LIB = lib
         except Exception:
             _LIB = None
@@ -94,7 +109,10 @@ def unpack_rows(packed: np.ndarray, bits: int, k: int) -> np.ndarray | None:
 
 
 def quantize_to_codes(w: np.ndarray, scales: np.ndarray, zeros: np.ndarray,
-                      g_idx: np.ndarray, maxq: int) -> np.ndarray | None:
+                      g_idx: np.ndarray) -> np.ndarray | None:
+    """codes = rint(w/s + z) in double, half-to-even, no clamp — byte-exact
+    with quant/packing.quantize_weight_to_codes (which calls this fast path
+    when inputs are float32-exact)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -105,5 +123,5 @@ def quantize_to_codes(w: np.ndarray, scales: np.ndarray, zeros: np.ndarray,
     n_rows, k = w.shape
     out = np.empty((k, n_rows), dtype=np.uint32)
     lib.quantize_to_codes(w, scales, zeros, g_idx, out, n_rows, k,
-                          scales.shape[1], maxq)
+                          scales.shape[1])
     return out.view(np.int32)

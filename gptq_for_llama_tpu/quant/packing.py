@@ -279,6 +279,13 @@ def quantize_weight_to_codes(w: np.ndarray, scales: np.ndarray, zeros: np.ndarra
     Returns codes (K, N) int — codes = round(w / scale + zero)
     (reference: quant_linear.py:335-339 computes round((w + scale*zero)/scale)).
     """
+    exact32 = all(np.asarray(a).dtype in (np.float32, np.float16)
+                  for a in (w, scales, zeros))
+    if exact32:  # C++ fast path computes the same double-precision rint
+        from .. import native  # (native/packlib.cpp quantize_to_codes)
+        out = native.quantize_to_codes(w, scales, zeros, g_idx)
+        if out is not None:
+            return out
     w = w.astype(np.float64)
     s = scales.astype(np.float64)[:, g_idx]  # (N, K)
     z = zeros.astype(np.float64)[:, g_idx]

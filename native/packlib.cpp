@@ -10,6 +10,7 @@
 //
 // Exposed as a C ABI for ctypes (no pybind11 in this environment).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -93,27 +94,30 @@ void unpack_rows(const uint32_t* packed, uint32_t* out, int64_t k, int64_t n,
   }
 }
 
-// Quantize a float weight to integer codes: codes = rint(w / s + z), clamped.
+// Quantize a float weight to integer codes: codes = rint(w / s + z).
+// Semantics match quant/packing.py quantize_weight_to_codes EXACTLY: the
+// arithmetic is double precision, rint is round-half-to-even (the default FP
+// rounding mode, same as np.rint / torch.round), and there is NO clamp —
+// out-of-range values wrap through the uint32 cast exactly like numpy's
+// astype chain (the zero==0 wrap is load-bearing for reference wire parity).
 // w: (N, K) row-major (out-features x in-features, torch layout);
 // scales/zeros: (N, G); g_idx: (K,); out codes: (K, N) (wire layout).
 void quantize_to_codes(const float* w, const float* scales, const float* zeros,
                        const int32_t* g_idx, uint32_t* out, int64_t n_rows,
-                       int64_t k, int64_t g, int maxq) {
+                       int64_t k, int64_t g) {
 #pragma omp parallel for
   for (int64_t kk = 0; kk < k; ++kk) {
     const int32_t grp = g_idx[kk];
     for (int64_t row = 0; row < n_rows; ++row) {
-      const float s = scales[row * g + grp];
-      const float z = zeros[row * g + grp];
-      float q = w[row * k + kk] / s + z;
-      q = q < 0.f ? 0.f : q;
-      long r = (long)(q + 0.5f);
-      if (r > maxq) r = maxq;
+      const double s = (double)scales[row * g + grp];
+      const double z = (double)zeros[row * g + grp];
+      const double q = (double)w[row * k + kk] / s + z;
+      const int64_t r = (int64_t)std::rint(q);
       out[kk * n_rows + row] = (uint32_t)r;
     }
   }
 }
 
-int packlib_version() { return 1; }
+int packlib_version() { return 2; }
 
 }  // extern "C"

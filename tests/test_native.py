@@ -32,6 +32,16 @@ def test_native_pack_matches_numpy(bits, monkeypatch):
     np.testing.assert_array_equal(unpacked, codes.astype(np.int32))
 
 
+def _numpy_codes(w, scales, zeros, g_idx):
+    """The pure-numpy oracle (duplicated here so the test pins the native
+    path against it even though packing.quantize_weight_to_codes now calls
+    the native fast path itself)."""
+    s = scales.astype(np.float64)[:, g_idx]
+    z = zeros.astype(np.float64)[:, g_idx]
+    return np.rint(w.astype(np.float64) / s + z).astype(np.int64).T.astype(
+        np.int32)
+
+
 @requires_native
 def test_native_quantize_to_codes():
     from gptq_for_llama_tpu.quant.packing import quantize_weight_to_codes
@@ -43,6 +53,27 @@ def test_native_quantize_to_codes():
     codes0 = rng.randint(0, 16, size=(n_rows, k))
     w = ((codes0 - zeros[:, g_idx]) * scales[:, g_idx]).astype(np.float32)
 
-    want = quantize_weight_to_codes(w, scales, zeros, g_idx)
-    got = native.quantize_to_codes(w, scales, zeros, g_idx, maxq=15)
+    want = _numpy_codes(w, scales, zeros, g_idx)
+    got = native.quantize_to_codes(w, scales, zeros, g_idx)
     np.testing.assert_array_equal(got, want)
+    # production entry point dispatches to the same result
+    np.testing.assert_array_equal(
+        quantize_weight_to_codes(w, scales, zeros, g_idx), want)
+
+
+@requires_native
+def test_native_quantize_ties_and_wrap():
+    """Round-half-to-even at exact .5 boundaries and the zero==0 uint wrap
+    (regression: the old native code rounded half-away-from-zero in fp32 and
+    clamped, diverging from np.rint at exactly these inputs)."""
+    n_rows, g = 1, 1
+    g_idx = np.zeros(8, np.int32)
+    scales = np.ones((n_rows, g), np.float32)
+    zeros = np.zeros((n_rows, g), np.float32)
+    # w/s + z hits exact ties 0.5, 1.5, 2.5, -0.5, -1.5 and a negative wrap
+    w = np.array([[0.5, 1.5, 2.5, -0.5, -1.5, -1.0, 3.0, 16.0]], np.float32)
+    want = _numpy_codes(w, scales, zeros, g_idx)
+    got = native.quantize_to_codes(w, scales, zeros, g_idx)
+    np.testing.assert_array_equal(got, want)
+    # ties went to even; -1 wrapped to 0xffffffff viewed as int32 -1
+    assert got.reshape(-1).tolist() == [0, 2, 2, 0, -2, -1, 3, 16]
