@@ -1,0 +1,243 @@
+"""Measured kernel autotuner with a persistent cache.
+
+The reference autotuner benchmarks each Triton config ~40 reps and caches the
+best by pow2-rounded M (reference: quant/custom_autotune.py:14-127). The TPU
+equivalent tunes the (groups_per_tile, block_n) tiling of the fused
+dequant-GEMM kernels:
+
+- candidates come from the same enumeration as the static heuristic
+  (`matmul._best_blocks`), so every candidate satisfies the Mosaic
+  constraints; the heuristic's own pick is always among them;
+- measurement chains many kernel invocations inside ONE jitted fori_loop and
+  takes the slope between two unroll factors — this cancels the host-dispatch
+  and per-iteration floors of the axon relay (same methodology as
+  scripts/kbench.py), which would otherwise drown a ~100 us kernel;
+- results persist as JSON keyed on
+  (kind, K, N, bits, groupsize, pow2-M-bucket, device_kind) — keyed on the
+  chip generation so a different TPU never reuses yesterday's answer;
+- trace-time consumers (quant_matmul_pallas and the transposed backward) only
+  LOOK UP the cache — they never measure inside a trace; measurement happens
+  eagerly via `ensure()` from ModelRunner.warmup()/bench on the real chip.
+  On a cache miss the static heuristic answers, so cold-cache behavior is
+  exactly the round-1 kernel.
+
+Env knobs:
+  GPTQ_TPU_AUTOTUNE=0      disable lookups AND measurement (pure heuristic)
+  GPTQ_TPU_AUTOTUNE=ro     lookups only, never measure
+  GPTQ_TPU_AUTOTUNE_CACHE  cache file path override
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_CACHE: dict | None = None
+_MODE_ENV = "GPTQ_TPU_AUTOTUNE"
+_PATH_ENV = "GPTQ_TPU_AUTOTUNE_CACHE"
+_VERSION = 1
+
+
+def _mode() -> str:
+    return os.environ.get(_MODE_ENV, "")
+
+
+def cache_path() -> str:
+    p = os.environ.get(_PATH_ENV)
+    if p:
+        return p
+    import jax
+    base = jax.config.jax_compilation_cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache")
+    return os.path.join(base, "gptq_tpu_autotune.json")
+
+
+def _device_kind() -> str:
+    import jax
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        return "unknown"
+
+
+def _load() -> dict:
+    global _CACHE
+    with _LOCK:
+        if _CACHE is None:
+            try:
+                with open(cache_path()) as f:
+                    data = json.load(f)
+                _CACHE = data if data.get("_version") == _VERSION else {}
+            except Exception:
+                _CACHE = {}
+        return _CACHE
+
+
+def _persist():
+    with _LOCK:
+        path = cache_path()
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        data = dict(_CACHE or {})
+        data["_version"] = _VERSION
+        tmp = f"{path}.tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=0, sort_keys=True)
+        os.replace(tmp, path)
+
+
+def reset_cache_for_tests():
+    global _CACHE
+    with _LOCK:
+        _CACHE = None
+
+
+def m_bucket(m: int) -> int:
+    """pow2 rounding like the reference's nearest_power_of_two key
+    (custom_autotune.py:84-87)."""
+    return 1 << max(0, int(np.ceil(np.log2(max(m, 1)))))
+
+
+def _key(kind: str, k: int, n: int, bits: int, gs: int, m: int) -> str:
+    return (f"{kind}:K{k}:N{n}:b{bits}:g{gs}:M{m_bucket(m)}"
+            f":{_device_kind()}")
+
+
+def lookup(kind: str, k: int, n: int, bits: int, gs: int, m: int):
+    """(groups_per_tile, block_n) from the persistent cache, or None."""
+    if _mode() == "0":
+        return None
+    hit = _load().get(_key(kind, k, n, bits, gs, m))
+    return tuple(hit) if hit else None
+
+
+def store(kind: str, k: int, n: int, bits: int, gs: int, m: int, best,
+          persist: bool = True):
+    _load()[_key(kind, k, n, bits, gs, m)] = list(best)
+    if persist:
+        _persist()
+
+
+def candidates(k: int, n: int, gs: int, bits: int, n_weights: int = 1):
+    """All Mosaic-valid (groups_per_tile, block_n) tilings for this shape,
+    ordered by the heuristic's preference (its pick first)."""
+    from .matmul import _QW_TILE_BYTES, _TARGET_TILE, _best_blocks
+    g = k // gs
+    out = []
+    for bg in (8, 16, 32):
+        if g % bg:
+            continue
+        rows = bg * gs * bits // 32
+        for bn in (2048, 1024, 512, 256, 128):
+            if n % bn:
+                continue
+            tile = rows * bn * 4 * n_weights
+            if tile > _QW_TILE_BYTES:
+                continue
+            out.append((abs(tile - _TARGET_TILE), bg, bn))
+    out.sort()
+    cands = [(bg, bn) for _, bg, bn in out]
+    pick = _best_blocks(k, n, gs, bits, n_weights=n_weights)
+    if pick is not None and pick in cands:  # heuristic pick measured first
+        cands.remove(pick)
+        cands.insert(0, pick)
+    return cands
+
+
+# ---------------------------------------------------------------------------
+# measurement (slope method; see scripts/kbench.py)
+# ---------------------------------------------------------------------------
+
+def _timed_loop(fn, x, iters: int, reps: int, unroll: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    def body(i, c):
+        for _ in range(unroll):
+            y = fn(c)
+            c = x + 1e-12 * jnp.sum(y).astype(x.dtype)
+        return c
+
+    @jax.jit
+    def loop(x):
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    np.asarray(loop(x))  # compile + settle (relay: block_until_ready lies)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(loop(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure(fn, x, iters: int = 20, reps: int = 2) -> float:
+    """Per-call seconds of fn(x) -> y, dispatch floors cancelled."""
+    t_lo = _timed_loop(fn, x, iters, reps, 1)
+    t_hi = _timed_loop(fn, x, iters, reps, 5)
+    return max((t_hi - t_lo) / (iters * 4), 1e-9)
+
+
+def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
+             log=None) -> tuple | None:
+    """Measure all candidates for one PackedLinear at row-bucket m; persist
+    and return the winning (groups_per_tile, block_n)."""
+    import jax
+    import jax.numpy as jnp
+    from . import matmul as pk
+
+    assert kind == "fwd", "only the forward dequant-GEMM is tunable"
+    kp, n = lin.k_padded, lin.out_features
+    bits, gs = lin.bits, lin.groupsize
+    hit = lookup(kind, kp, n, bits, gs, m)
+    if hit is not None:
+        return hit
+    cands = candidates(kp, n, gs, bits)
+    if not cands:
+        return None
+    mb = max(8, m_bucket(m))
+    zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32)
+          ).astype(lin.scales.dtype)
+    x = jnp.ones((mb, kp), jnp.bfloat16)
+
+    def make(bg, bn):
+        return lambda xx: pk._qmm_2d(xx, lin.qweight, lin.scales, zs,
+                                     bits, gs, block_n=bn, block_groups=bg)
+
+    best, best_t = None, float("inf")
+    for bg, bn in cands:
+        try:
+            t = measure(make(bg, bn), x, iters=iters, reps=reps)
+        except Exception:
+            continue  # OOM/unsupported tiling = inf, like the reference
+        if log:
+            log(f"  autotune {kind} K={kp} N={n} M={mb} "
+                f"bg={bg} bn={bn}: {t * 1e6:.1f} us")
+        if t < best_t:
+            best, best_t = (bg, bn), t
+    if best is not None:
+        store(kind, kp, n, bits, gs, m, best)
+    return best
+
+
+def ensure_linears(linears, m: int, kind: str = "fwd", log=None):
+    """Tune every distinct shape among `linears` at row-bucket m (first
+    encounter measures, later calls hit the persistent cache). No-op unless
+    running on a real TPU with autotuning enabled."""
+    import jax
+    if _mode() in ("0", "ro") or jax.default_backend() != "tpu":
+        return
+    from .matmul import supports
+    seen = set()
+    for lin in linears:
+        if not supports(lin):
+            continue
+        sig = (lin.k_padded, lin.out_features, lin.bits, lin.groupsize)
+        if sig in seen:
+            continue
+        seen.add(sig)
+        tune_qmm(lin, m, kind=kind, log=log)

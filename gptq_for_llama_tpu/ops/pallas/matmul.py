@@ -233,6 +233,122 @@ def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
     )(x, qweight, scales, zeros_scaled)
 
 
+def _qmm_t_kernel(g_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits: int,
+                  groupsize: int, groups_per_tile: int, out_dtype):
+    """Transposed product: one (bm, bk) grad-input tile, accumulating over
+    the N (reduction) grid dimension.
+
+    dx = g @ W^T with W = (C - z) * s. The scale varies along the reduction
+    axis (it is indexed by n inside the sum), so the dot-then-scale trick of
+    the forward kernel does not transpose; instead each group's code tile is
+    dequantized in-register ((c * s) - z*s on (gs, bn) VPU elements — fine
+    for the finetuning/backward path) and fed to the MXU contracting on n.
+    Packed words remain the only weight HBM traffic.
+    """
+    nstep = pl.program_id(2)
+
+    @pl.when(nstep == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gs, gpt = groupsize, groups_per_tile
+    wpg = gs * bits // 32
+    gb = g_ref[:].astype(jnp.bfloat16)  # (bm, bn) cotangent tile
+    acc = acc_ref[:]
+    outs = []
+    for gr in range(gpt):
+        codes = _unpack_rows(qw_ref[gr * wpg:(gr + 1) * wpg, :], bits, gs)
+        cf = codes.astype(jnp.float32)
+        # wd = (c - z) * s = c*s - (z*s); z_ref holds z*s (see call site)
+        wd = (cf * s_ref[gr:gr + 1, :].astype(jnp.float32)
+              - z_ref[gr:gr + 1, :].astype(jnp.float32)).astype(jnp.bfloat16)
+        outs.append(jax.lax.dot_general(
+            gb, wd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32))  # (bm, gs)
+    acc_ref[:] = acc + jnp.concatenate(outs, axis=1)
+
+    @pl.when(nstep == pl.num_programs(2) - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
+                                             "interpret"))
+def _qmm_t_2d(g, qweight, scales, zeros_scaled, bits: int, groupsize: int,
+              out_dtype=jnp.bfloat16, interpret: bool = False):
+    """dx = g @ dequant(qweight)^T: g (M, N) -> (M, K). M must be 8-aligned."""
+    m, n = g.shape
+    k = qweight.shape[0] * 32 // bits
+    gtot = k // groupsize
+
+    plan = _tile_plan(k, n, groupsize, bits)
+    assert plan is not None, "caller must check supports()"
+    bk, gpt = plan
+    bn = None
+    if gpt != gtot:
+        tuned = _best_blocks(k, n, groupsize, bits)
+        if tuned is not None:
+            gpt, bn = tuned
+            bk = gpt * groupsize
+    bm = _pick_block(m, 256, 8)
+    bn = _pick_block(n, bn or 256, 128)
+
+    grid = (m // bm, k // bk, n // bn)
+    kernel = functools.partial(_qmm_t_kernel, bits=bits, groupsize=groupsize,
+                               groups_per_tile=gpt, out_dtype=out_dtype)
+    flops = 2 * m * n * k
+    bytes_accessed = (m * n * 2) * (k // bk) + k * n * bits // 8 + m * k * 2
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bn), lambda i, kk, nn: (i, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk * bits // 32, bn), lambda i, kk, nn: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, bn), lambda i, kk, nn: (kk, nn),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpt, bn), lambda i, kk, nn: (kk, nn),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bk), lambda i, kk, nn: (i, kk),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, k), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bk), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(flops=flops, bytes_accessed=bytes_accessed,
+                                      transcendentals=0),
+        interpret=interpret,
+    )(g, qweight, scales, zeros_scaled)
+
+
+def quant_matmul_t_pallas(g, lin: PackedLinear, interpret: bool = False):
+    """Grad-input dx = g @ dequant(lin)^T for g (..., N); output (..., K).
+
+    The TPU equivalent of the reference's transpose_matmul_248_kernel
+    (reference: quant/quant_linear.py:192-258). Act-order/K-pad: the kernel
+    produces device-row order; the inverse permutation and pad-drop are
+    applied here (pad columns are exactly zero: pad codes 0, zeros 0 ->
+    wd = 0*1 - 0 = 0)."""
+    lead = g.shape[:-1]
+    n = lin.out_features
+    k, kp = lin.in_features, lin.k_padded
+    g2 = g.reshape(-1, n)
+    m = g2.shape[0]
+    mp = max(8, -(-m // 8) * 8)
+    if mp != m:
+        g2 = jnp.pad(g2, ((0, mp - m), (0, 0)))
+    zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32))
+    dx = _qmm_t_2d(g2, lin.qweight, lin.scales, zs.astype(lin.scales.dtype),
+                   lin.bits, lin.groupsize, out_dtype=g.dtype,
+                   interpret=interpret)
+    dx = dx[:m, :k]  # drop M pad + K pad (device order)
+    if lin.perm is not None:
+        dx = jnp.take(dx, jnp.argsort(lin.perm), axis=-1)
+    return dx.reshape(*lead, k)
+
+
 def quant_matmul_pallas(x, lin: PackedLinear, interpret: bool = False):
     """y = x @ dequant(lin) + bias for x (..., K); output (..., N) in x.dtype."""
     if lin.perm is not None:
@@ -245,9 +361,16 @@ def quant_matmul_pallas(x, lin: PackedLinear, interpret: bool = False):
     mp = max(8, -(-m // 8) * 8)  # pad rows to the fp32 sublane tile
     if mp != m or kp != k:
         x2 = jnp.pad(x2, ((0, mp - m), (0, kp - k)))
+    # measured-autotune cache (trace-time lookup only; misses fall back to
+    # the static heuristic inside _qmm_2d — see ops/pallas/autotune.py)
+    from . import autotune
+    tuned = autotune.lookup("fwd", kp, lin.out_features, lin.bits,
+                            lin.groupsize, mp)
+    bg, bn = tuned if tuned is not None else (None, None)
     zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32))
     y = _qmm_2d(x2, lin.qweight, lin.scales, zs.astype(lin.scales.dtype),
-                lin.bits, lin.groupsize, out_dtype=x.dtype, interpret=interpret)
+                lin.bits, lin.groupsize, out_dtype=x.dtype, interpret=interpret,
+                block_n=bn, block_groups=bg)
     y = y[:m].reshape(*lead, lin.out_features)
     if lin.bias is not None:
         y = y + lin.bias

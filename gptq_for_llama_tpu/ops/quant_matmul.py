@@ -61,13 +61,19 @@ def _qmm_fwd(x, lin):
 def _qmm_bwd(res, g):
     import numpy as np
     (lin,) = res
-    # grad-input: g @ W^T with W dequantized densely (XLA fuses the unpack
-    # into the matmul read; a dedicated transposed Pallas kernel can replace
-    # this if finetuning becomes a hot path)
-    w = lin.dequantize(g.dtype)                       # (K_dev, N) device order
-    dx = jnp.matmul(g, w.T)
-    if lin.perm is not None:
-        dx = jnp.take(dx, jnp.argsort(lin.perm), axis=-1)
+    # grad-input: g @ W^T — the transposed Pallas dequant-GEMM when the
+    # shape supports it (reference: transpose_matmul_248_kernel,
+    # quant/quant_linear.py:192-258), XLA dense-dequant otherwise
+    from .pallas import matmul as pallas_matmul
+    if _use_pallas(lin):
+        interpret = (os.environ.get(_IMPL_ENV, "") == "pallas"
+                     and jax.default_backend() != "tpu")
+        dx = pallas_matmul.quant_matmul_t_pallas(g, lin, interpret=interpret)
+    else:
+        w = lin.dequantize(g.dtype)                   # (K_dev, N) device order
+        dx = jnp.matmul(g, w.T)
+        if lin.perm is not None:
+            dx = jnp.take(dx, jnp.argsort(lin.perm), axis=-1)
 
     def zero_tan(t):
         if jnp.issubdtype(t.dtype, jnp.floating):

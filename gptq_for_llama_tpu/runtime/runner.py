@@ -30,6 +30,25 @@ from ..models.registry import get_arch
 from ..models.common import decode_mask
 
 
+def collect_packed_linears(params) -> list:
+    """Every PackedLinear leaf in a params tree (for warmup autotuning)."""
+    from ..ops.linear import PackedLinear
+    out = []
+
+    def walk(t):
+        if isinstance(t, PackedLinear):
+            out.append(t)
+        elif isinstance(t, dict):
+            for v in t.values():
+                walk(v)
+        elif isinstance(t, (list, tuple)):
+            for v in t:
+                walk(v)
+
+    walk(params)
+    return out
+
+
 def stack_layers(layers: list):
     """Stack per-layer pytrees leaf-wise for lax.scan; None on mismatch."""
     treedefs = {jax.tree_util.tree_structure(lp) for lp in layers}
@@ -297,9 +316,19 @@ class ModelRunner:
             self._decode_scan_cache[key] = run
         return self._decode_scan_cache[key](self._step_params, ids, cache)
 
-    def warmup(self, prefill_buckets=(128,)):
+    def warmup(self, prefill_buckets=(128,), autotune: bool = True):
         """AOT compile decode + given prefill lengths (the reference's
-        autotune_warmup_linear/fused equivalent, quant_linear.py:393-423)."""
+        autotune_warmup_linear/fused equivalent, quant_linear.py:393-423).
+
+        autotune=True additionally runs the MEASURED kernel tuner over every
+        distinct packed-linear shape at the decode row bucket before the
+        first trace (reference custom_autotune measures per shape and
+        caches; ours persists across processes — ops/pallas/autotune.py).
+        No-op off-TPU or when GPTQ_TPU_AUTOTUNE disables it."""
+        if autotune and self._tp is None:
+            from ..ops.pallas import autotune as at
+            at.ensure_linears(collect_packed_linears(self.params),
+                              max(8, self.batch))
         cache = self.init_cache()
         for s in prefill_buckets:
             ids = jnp.zeros((self.batch, s), jnp.int32)
