@@ -73,21 +73,35 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel degree (default: all devices)")
+    p.add_argument("--pre-layer", type=int, default=None, dest="pre_layer",
+                   help="keep only the first N layers device-resident and "
+                        "stream the rest from host memory (the reference's "
+                        "CPU-offload --pre_layer, llama_inference_offload.py)")
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture a jax.profiler device trace of the "
+                        "benchmark/eval into this directory")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import contextlib
     import jax.numpy as jnp
     from ..data import get_loaders
     from ..engine import (QuantizeSpec, export_quant_table, pack_model,
                           perplexity, quantize_model, save_packed)
     from ..models import hf_loader
+    from ..utils.profiling import PhaseTimer, device_trace
+
+    timer = PhaseTimer()
+    trace = (lambda: device_trace(args.profile_dir)) if args.profile_dir \
+        else contextlib.nullcontext
 
     t0 = time.time()
     model_dir = args.load or args.model
-    cfg, params = hf_loader.load_params(model_dir, seqlen=args.seqlen,
-                                        dtype=jnp.bfloat16)
+    with timer.phase("load"):
+        cfg, params = hf_loader.load_params(model_dir, seqlen=args.seqlen,
+                                            dtype=jnp.bfloat16)
     seqlen = args.seqlen or cfg.max_seq_len
     print(f"loaded {cfg.arch} from {model_dir} ({time.time() - t0:.1f}s)")
 
@@ -99,15 +113,15 @@ def main(argv=None):
         nearest=args.nearest, observe=args.observe, chunk=args.chunk,
         quantize_lm_head=args.quantize_lm_head)
 
-    needs_quant = (not args.load and args.wbits < 16
-                   and not (args.benchmark and not args.save))
     if not args.load and (args.wbits < 16 or args.nearest):
         train, _ = get_loaders(args.dataset, nsamples=args.nsamples,
                                seed=args.seed, seqlen=seqlen,
                                model=args.model if args.dataset != "synthetic" else cfg)
         tq = time.time()
-        params, quantizers, _ = quantize_model(cfg.arch, cfg, params, train,
-                                               spec, resume_dir=args.resume_dir)
+        with timer.phase("quantize"):
+            params, quantizers, _ = quantize_model(
+                cfg.arch, cfg, params, train, spec,
+                resume_dir=args.resume_dir)
         print(f"quantized in {time.time() - tq:.1f}s")
 
     if args.quant_directory and quantizers:
@@ -115,8 +129,9 @@ def main(argv=None):
         print(f"quant table exported to {args.quant_directory}")
 
     if args.save and quantizers:
-        params = pack_model(cfg.arch, cfg, params, quantizers)
-        save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
+        with timer.phase("pack+save"):
+            params = pack_model(cfg.arch, cfg, params, quantizers)
+            save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
         print(f"packed checkpoint saved to {args.save}")
 
     if args.tp and args.tp > 1:
@@ -135,8 +150,9 @@ def main(argv=None):
             _, test = get_loaders(
                 ds, seed=args.seed, seqlen=seqlen,
                 model=args.model if ds != "synthetic" else cfg)
-            ppl = perplexity(cfg.arch, cfg, params, test, seqlen=seqlen,
-                             verbose=True)
+            with timer.phase(f"eval:{ds}"), trace():
+                ppl = perplexity(cfg.arch, cfg, params, test, seqlen=seqlen,
+                                 verbose=True)
             print(f"{ds} perplexity: {ppl:.4f}")
 
     if args.benchmark:
@@ -145,27 +161,47 @@ def main(argv=None):
             args.dataset, seed=args.seed, seqlen=seqlen,
             model=args.model if args.dataset != "synthetic" else cfg)
         n = min(args.benchmark, len(np.asarray(test).reshape(-1)))
-        runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
-                             max_seq_len=max(n, 32))
-        res = benchmark_decode(runner, np.asarray(test).reshape(-1)[:n][None],
-                               check=args.check)
+        with timer.phase("benchmark"), trace():
+            runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
+                                 max_seq_len=max(n, 32))
+            res = benchmark_decode(runner,
+                                   np.asarray(test).reshape(-1)[:n][None],
+                                   check=args.check)
         print(json.dumps(res))
 
     if args.test_generation:
-        from ..runtime import ModelRunner, generate
         from transformers import AutoTokenizer
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         ids = np.asarray(tokenizer(args.text)["input_ids"], np.int32)
-        runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
-                             max_seq_len=len(ids) + args.max_new_tokens)
-        out = generate(runner, ids, args.max_new_tokens,
-                       temperature=args.temperature, top_p=args.top_p,
-                       min_new_tokens=args.min_new_tokens,
-                       eos_token_id=tokenizer.eos_token_id,
-                       stream=lambda t: print(tokenizer.decode(t), end="",
-                                              flush=True))
+        max_len = len(ids) + args.max_new_tokens
+        stream = lambda t: print(tokenizer.decode(t), end="", flush=True)
+        if args.pre_layer is not None:
+            from ..runtime.offload import OffloadRunner
+            runner = OffloadRunner(cfg.arch, cfg, params,
+                                   pre_layer=args.pre_layer,
+                                   max_seq_len=max_len)
+            out = runner.generate(ids, args.max_new_tokens,
+                                  temperature=args.temperature,
+                                  top_p=args.top_p,
+                                  min_new_tokens=args.min_new_tokens,
+                                  eos_token_id=tokenizer.eos_token_id,
+                                  stream=stream)
+        else:
+            from ..runtime import ModelRunner, generate
+            runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
+                                 max_seq_len=max_len)
+            out = generate(runner, ids, args.max_new_tokens,
+                           temperature=args.temperature, top_p=args.top_p,
+                           min_new_tokens=args.min_new_tokens,
+                           eos_token_id=tokenizer.eos_token_id,
+                           stream=stream)
         print()
         print(tokenizer.decode(out[0]))
+
+    if timer.totals:
+        print(timer.summary())
+        if args.profile_dir:
+            print(f"device trace written to {args.profile_dir}")
 
 
 if __name__ == "__main__":
