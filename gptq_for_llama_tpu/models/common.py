@@ -147,6 +147,23 @@ def apply_kv_cache(past_kv, k, v):
         ck, cv = update_kv_cache(ck, cv, k_dec, v_dec, offsets,
                                  write_mask=live)
         return ck, cv, (ck, cv), ("grouped", offsets, slot, off0, b_dec)
+    if past_kv[0] == "grouped_paged":
+        # the paged twin of "grouped": decode rows write/read through the
+        # block pool; the chunk rows write whole blocks of slot `slot`'s
+        # table at off0 (prefill_chunk % block_size enforced by the engine).
+        # The gathered logical views feed the same "grouped" sdpa split.
+        _, kp, vp, tables, offsets, live, slot, off0, b_dec = past_kv
+        from ..runtime.paged import paged_update_layer
+        k_dec, v_dec = k[0, :b_dec][:, None], v[0, :b_dec][:, None]
+        k_chunk, v_chunk = k[0, b_dec:][None], v[0, b_dec:][None]
+        trow = jax.lax.dynamic_slice_in_dim(tables, slot, 1, axis=0)
+        kp, vp, _, _ = paged_update_layer(kp, vp, k_chunk, v_chunk, trow,
+                                          off0)
+        kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k_dec, v_dec,
+                                                  tables, offsets,
+                                                  write_mask=live)
+        return k_eff, v_eff, (kp, vp), ("grouped", offsets, slot, off0,
+                                        b_dec)
     if past_kv[0] == "paged":
         _, kp, vp, tables, offset = past_kv[:5]
         write_mask = past_kv[5] if len(past_kv) > 5 else None

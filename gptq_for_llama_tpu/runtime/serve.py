@@ -404,19 +404,17 @@ class ServingEngine:
         parts share the jit (single host dispatch per engine iteration)."""
         if self._chunk_decode_fn is not None:
             return self._chunk_decode_fn
-        self._get_chunk_prefill()  # builds self._chunk_raw
-        chunk_raw = self._chunk_raw
-        decode_raw = self._decode_step_fn
         arch, cfg = self.arch, self._model_cfg()
         b_dec, blen = self.b, self.prefill_chunk
 
         def fused_tokens(sp, toks, k, v, off, live, tables,
                          chunk_ids, slotarg, off0, last_idx):
-            """Weights-once form (dense caches): the B decode tokens and the
-            C chunk tokens ride ONE flat (1, B+C) token batch through the
-            layer stack — every packed weight is read once for both groups.
-            The cache write/attention split lives in the "grouped" cache
-            protocol (models/common.apply_kv_cache / sdpa)."""
+            """Weights-once form: the B decode tokens and the C chunk tokens
+            ride ONE flat (1, B+C) token batch through the layer stack —
+            every packed weight is read once for both groups. The cache
+            write/attention split lives in the "grouped"/"grouped_paged"
+            cache protocol (models/common.apply_kv_cache / sdpa); slotarg is
+            the chunk slot INDEX in both modes."""
             ids_flat = jnp.concatenate([toks[:, 0], chunk_ids[0]])[None]
             positions = jnp.concatenate(
                 [off, off0 + jnp.arange(blen)])[None]
@@ -425,7 +423,11 @@ class ServingEngine:
                            positions).astype(self.dtype)
 
             def past(ck, cv):
-                return ("grouped", ck, cv, off, live, slotarg, off0, b_dec)
+                if tables is None:
+                    return ("grouped", ck, cv, off, live, slotarg, off0,
+                            b_dec)
+                return ("grouped_paged", ck, cv, tables, off, live, slotarg,
+                        off0, b_dec)
 
             tp_ctx = self._tp_ctx()
             if sp["stacked"] is not None:
@@ -452,16 +454,7 @@ class ServingEngine:
             new_off = jnp.where(live, off + 1, off)
             return logits, clast, k, v, new_off
 
-        def fused(sp, toks, k, v, off, live, tables,
-                  chunk_ids, slotarg, off0, last_idx):
-            if tables is None:  # dense: weights-once token fusion
-                return fused_tokens(sp, toks, k, v, off, live, tables,
-                                    chunk_ids, slotarg, off0, last_idx)
-            # paged: two passes sharing one program (one dispatch)
-            clast, k, v = chunk_raw(sp, chunk_ids, k, v, slotarg, off0,
-                                    last_idx)
-            logits, k, v, off = decode_raw(sp, toks, k, v, off, live, tables)
-            return logits, clast, k, v, off
+        fused = fused_tokens  # weights-once in both dense and paged modes
 
         if self._tp is not None:
             cache = self._cache_pspec()
@@ -659,13 +652,15 @@ class ServingEngine:
             live_j = jnp.asarray(state["live"])
             self._key, sub = jax.random.split(self._key)
             if fused_chunk is not None:
-                # chunk + decode in ONE program (one dispatch)
+                # chunk + decode in ONE program (one dispatch); the fused
+                # path takes the slot INDEX in both modes (the paged branch
+                # reads the slot's table row in-program)
                 i, slot, ids, slotarg, off0, last_idx = fused_chunk
                 logits, clast, state["k"], state["v"], state["off"] = \
                     self._get_chunk_decode()(
                         self._sp, jnp.asarray(state["toks"][:, None]),
                         state["k"], state["v"], state["off"], live_j,
-                        state["tables"], ids, slotarg, off0, last_idx)
+                        state["tables"], ids, jnp.int32(i), off0, last_idx)
                 # activation must wait until after the token loop below:
                 # the fused program decoded with the PRE-activation live mask,
                 # so this slot's logits from it are meaningless
