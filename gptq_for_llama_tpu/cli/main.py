@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel degree (default: all devices)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() before "
+                        "backend use (auto-detect on TPU pods, or "
+                        "GPTQ_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID; "
+                        "see parallel/distributed.py for the launch recipe)")
     p.add_argument("--pre-layer", type=int, default=None, dest="pre_layer",
                    help="keep only the first N layers device-resident and "
                         "stream the rest from host memory (the reference's "
@@ -85,6 +90,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.distributed:
+        import os
+        from ..parallel.distributed import initialize
+        os.environ.setdefault("GPTQ_TPU_DISTRIBUTED", "1")
+        initialize()
     import contextlib
     import jax.numpy as jnp
     from ..data import get_loaders
@@ -134,14 +144,22 @@ def main(argv=None):
             save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
         print(f"packed checkpoint saved to {args.save}")
 
+    # --tp: eval (prefill-shaped) runs on jit-sharded params; the decode paths
+    # (benchmark / generation) use the shard_map whole-step TP runner so the
+    # Pallas kernels execute on local shards (parallel/tp_model — jit-only
+    # sharding cannot partition a pallas_call and silently falls back to the
+    # XLA dequant matmul)
+    mesh = None
     if args.tp and args.tp > 1:
-        import jax
-        from ..parallel.sharding import make_mesh, shard_model_params
-        mesh = make_mesh(tp=args.tp, dp=max(len(jax.devices()) // args.tp, 1))
-        params = shard_model_params(cfg.arch, cfg, params, mesh)
-        print(f"sharded over mesh {dict(mesh.shape)}")
+        from ..parallel.sharding import make_mesh
+        mesh = make_mesh(tp=args.tp, dp=1)
+        print(f"tensor-parallel over mesh {dict(mesh.shape)}")
 
     if args.eval:
+        eval_params = params
+        if mesh is not None:
+            from ..parallel.sharding import shard_model_params
+            eval_params = shard_model_params(cfg.arch, cfg, params, mesh)
         datasets = ["wikitext2", "ptb", "c4"] if args.dataset != "synthetic" \
             else ["synthetic"]
         if args.new_eval and args.dataset != "synthetic":
@@ -151,9 +169,10 @@ def main(argv=None):
                 ds, seed=args.seed, seqlen=seqlen,
                 model=args.model if ds != "synthetic" else cfg)
             with timer.phase(f"eval:{ds}"), trace():
-                ppl = perplexity(cfg.arch, cfg, params, test, seqlen=seqlen,
-                                 verbose=True)
+                ppl = perplexity(cfg.arch, cfg, eval_params, test,
+                                 seqlen=seqlen, verbose=True)
             print(f"{ds} perplexity: {ppl:.4f}")
+        del eval_params
 
     if args.benchmark:
         from ..runtime import ModelRunner, benchmark_decode
@@ -163,7 +182,8 @@ def main(argv=None):
         n = min(args.benchmark, len(np.asarray(test).reshape(-1)))
         with timer.phase("benchmark"), trace():
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
-                                 max_seq_len=max(n, 32))
+                                 max_seq_len=max(n, 32),
+                                 mesh=mesh, shard_map_tp=mesh is not None)
             res = benchmark_decode(runner,
                                    np.asarray(test).reshape(-1)[:n][None],
                                    check=args.check)
@@ -189,7 +209,8 @@ def main(argv=None):
         else:
             from ..runtime import ModelRunner, generate
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
-                                 max_seq_len=max_len)
+                                 max_seq_len=max_len,
+                                 mesh=mesh, shard_map_tp=mesh is not None)
             out = generate(runner, ids, args.max_new_tokens,
                            temperature=args.temperature, top_p=args.top_p,
                            min_new_tokens=args.min_new_tokens,

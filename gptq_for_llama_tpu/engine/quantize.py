@@ -203,11 +203,13 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
 
     shard_batch = lambda x: x
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.distributed import put_global
         dp = mesh.shape.get("dp", 1)
         assert chunk % dp == 0, f"chunk {chunk} must divide by dp {dp}"
-        batch_sharding = NamedSharding(mesh, P("dp"))
-        shard_batch = lambda x: jax.device_put(x, batch_sharding)
+        # put_global (not device_put): every host feeds the same full windows;
+        # each device materializes its dp shard — valid on multi-host meshes
+        shard_batch = lambda x: put_global(x, mesh, P("dp"))
     positions = jnp.arange(seqlen)[None, :]
     mask = causal_mask(seqlen, seqlen)
 

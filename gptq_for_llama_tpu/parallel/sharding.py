@@ -56,8 +56,17 @@ TP_RULES = {
 
 def make_mesh(tp: Optional[int] = None, dp: int = 1,
               devices=None) -> Mesh:
-    """Build a (dp, tp) mesh; tp defaults to all devices / dp."""
-    devices = devices if devices is not None else jax.devices()
+    """Build a (dp, tp) mesh; tp defaults to all devices / dp.
+
+    Multi-host: devices are ordered host-major (process_index, then id), so
+    with dp = a multiple of the process count each tp row stays WITHIN one
+    host — tensor-parallel collectives ride ICI, only dp traffic crosses DCN
+    (see parallel/distributed.py for the launch recipe).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if jax.process_count() > 1:
+            devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     tp = tp or (len(devices) // dp)
     if dp * tp != len(devices):
         devices = devices[: dp * tp]
@@ -66,6 +75,11 @@ def make_mesh(tp: Optional[int] = None, dp: int = 1,
 
 
 def _shard(mesh: Mesh, x, spec: P):
+    if jax.process_count() > 1:
+        # device_put cannot target non-addressable devices; build the global
+        # array from the host-local copy instead (every host has the params)
+        from .distributed import put_global
+        return put_global(x, mesh, spec)
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
