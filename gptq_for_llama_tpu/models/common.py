@@ -213,19 +213,41 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)
         vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)
         m = decode_mask(q_chunk.shape[1], k.shape[1], off0)
-        out_chunk = sdpa(q_chunk, kc, vc, m, scale)
+        # scalar offset + sq>1 dispatches the blocked flash kernel on TPU
+        out_chunk = sdpa(q_chunk, kc, vc, m, scale, decode_offset=off0)
         return jnp.concatenate([out_dec[:, 0][None], out_chunk], axis=1)
     if causal and decode_offset is None and sq > 256:
         import os
         forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
         use = forced == "pallas" or (forced != "xla"
                                      and jax.default_backend() == "tpu")
-        from ..ops.pallas.flash import flash_prefill, supports_prefill
+        from ..ops.pallas.flash import (flash_prefill, flash_prefill_blocked,
+                                        supports_prefill,
+                                        supports_prefill_blocked)
+        interp = forced == "pallas" and jax.default_backend() != "tpu"
+        sc = scale if scale is not None else 1.0 / (d ** 0.5)
         if use and supports_prefill(sq, k.shape[1], h, k.shape[2], d):
+            return flash_prefill(q, k, v, sc, interpret=interp)
+        if use and supports_prefill_blocked(sq, k.shape[1], h, k.shape[2], d):
+            # beyond the VMEM-resident cap (S > ~8k): KV-blocked online softmax
+            return flash_prefill_blocked(q, k, v, jnp.int32(0), sc,
+                                         interpret=interp)
+    if (decode_offset is not None and not isinstance(decode_offset, tuple)
+            and jnp.ndim(decode_offset) == 0 and sq > 1):
+        # cached prefill: sq chunk tokens attending a cache of skv slots at
+        # offset (chunked serving prefill / offloaded generation ramp). The
+        # additive mask encodes the same predicate the kernel applies.
+        import os
+        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
+        use = forced == "pallas" or (forced != "xla"
+                                     and jax.default_backend() == "tpu")
+        from ..ops.pallas.flash import (flash_prefill_blocked,
+                                        supports_prefill_blocked)
+        if use and supports_prefill_blocked(sq, k.shape[1], h, k.shape[2], d):
             sc = scale if scale is not None else 1.0 / (d ** 0.5)
-            return flash_prefill(q, k, v, sc,
-                                 interpret=forced == "pallas"
-                                 and jax.default_backend() != "tpu")
+            return flash_prefill_blocked(q, k, v, decode_offset, sc,
+                                         interpret=forced == "pallas"
+                                         and jax.default_backend() != "tpu")
     # long prefill: chunk the query axis so the (B, H, Sq, Skv) fp32 logits
     # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2)
     _Q_CHUNK = 256
