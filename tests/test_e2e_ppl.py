@@ -1,13 +1,13 @@
-"""End-to-end perplexity parity: the REFERENCE's own pipeline (torch CPU,
-llama_sequential -> llama_eval, /root/reference/llama.py:27-261) vs ours
-(quantize_model -> pack_model -> perplexity) on an identical tiny real-weight
-model, identical calibration windows, identical test stream.
+"""End-to-end perplexity parity: the REFERENCE's own pipelines (torch CPU,
+{llama,opt,neox}_sequential -> *_eval, /root/reference/{llama,opt,neox}.py)
+vs ours (quantize_model -> pack_model -> perplexity) on identical tiny
+real-weight models, identical calibration windows, identical test streams.
 
-This is the reference's only integration check (its published wikitext2 table,
-README.md:17-29) reproduced as an executable oracle: both stacks quantize the
-same fp32 weights with the same data and must land on the same perplexity.
-Solver/pack bit-parity (test_reference_interop.py) plus THIS closes the
-accuracy story end to end.
+This reproduces the reference's only integration check (its published
+wikitext2 tables, README.md:17-29) as an executable oracle for every arch it
+supports: both stacks quantize the same fp32 weights with the same data and
+must land on the same perplexity. Solver/pack bit-parity
+(test_reference_interop.py) plus THIS closes the accuracy story end to end.
 """
 
 import contextlib
@@ -27,6 +27,15 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 
 NSAMPLES, SEQLEN, WBITS, GROUPSIZE = 8, 64, 4, 16
 
+ARCHES = {
+    "llama": dict(file="llama.py", seq="llama_sequential", ev="llama_eval",
+                  cls="LlamaForCausalLM", tiny="tiny_llama_dir"),
+    "opt": dict(file="opt.py", seq="opt_sequential", ev="opt_eval",
+                cls="OPTForCausalLM", tiny="tiny_opt_dir"),
+    "neox": dict(file="neox.py", seq="neox_sequential", ev="neox_eval",
+                 cls="GPTNeoXForCausalLM", tiny="tiny_neox_dir"),
+}
+
 
 def _load_ref(name, path):
     spec = importlib.util.spec_from_file_location(name, path)
@@ -43,20 +52,31 @@ def _calibration_and_test():
     return cal, test
 
 
-@pytest.fixture(scope="module")
-def model_dir(tmp_path_factory):
-    import hf_tiny
-    d = tmp_path_factory.mktemp("e2e_ppl") / "model"
-    mdir, _ = hf_tiny.tiny_llama_dir(str(d))
-    return mdir
+def _shim_rotary_layer(layer_cls, rot_cls, attn_attr):
+    """transformers>=4.48 compat: the reference replays decoder layers with
+    (attention_mask, position_ids) only; modern rotary layers want
+    precomputed position_embeddings — synthesize them at the layer edge."""
+    if getattr(layer_cls.forward, "_ref_compat", False):
+        return
+    orig = layer_cls.forward
+
+    def fwd(self, hidden_states, attention_mask=None, position_ids=None,
+            position_embeddings=None, **kw):
+        if position_embeddings is None and position_ids is not None:
+            rot = rot_cls(config=getattr(self, attn_attr).config)
+            position_embeddings = rot(hidden_states, position_ids)
+        return orig(self, hidden_states, attention_mask=attention_mask,
+                    position_ids=position_ids,
+                    position_embeddings=position_embeddings, **kw)
+
+    fwd._ref_compat = True
+    layer_cls.forward = fwd
 
 
 @pytest.fixture(scope="module")
-def ref_llama():
-    """Load the reference llama.py with its GPU/dataset deps stubbed, plus a
-    transformers>=4.48 compat shim: the reference replays decoder layers with
-    (attention_mask, position_ids) only, modern layers want precomputed
-    position_embeddings — synthesize them at the layer edge."""
+def ref_env():
+    """Stub the reference's GPU/dataset deps once; return a loader for its
+    per-arch driver modules (each bound to a shared gptq/quant/utils env)."""
     import torch
     torch.cuda.synchronize = lambda *a, **k: None
     ref_quantizer = _load_ref("ref_quantizer", os.path.join(REF, "quant/quantizer.py"))
@@ -91,32 +111,40 @@ def ref_llama():
 
     ref_gptq = _load_ref("ref_gptq_e2e", os.path.join(REF, "gptq.py"))
     sys.modules["gptq"] = ref_gptq
-    mod = _load_ref("ref_llama_e2e", os.path.join(REF, "llama.py"))
 
     from transformers.models.llama import modeling_llama as ml
-    if not getattr(ml.LlamaDecoderLayer.forward, "_ref_compat", False):
-        orig = ml.LlamaDecoderLayer.forward
+    _shim_rotary_layer(ml.LlamaDecoderLayer, ml.LlamaRotaryEmbedding,
+                       "self_attn")
+    from transformers.models.gpt_neox import modeling_gpt_neox as mn
+    _shim_rotary_layer(mn.GPTNeoXLayer, mn.GPTNeoXRotaryEmbedding,
+                       "attention")
 
-        def fwd(self, hidden_states, attention_mask=None, position_ids=None,
-                position_embeddings=None, **kw):
-            if position_embeddings is None and position_ids is not None:
-                rot = ml.LlamaRotaryEmbedding(config=self.self_attn.config)
-                position_embeddings = rot(hidden_states, position_ids)
-            return orig(self, hidden_states, attention_mask=attention_mask,
-                        position_ids=position_ids,
-                        position_embeddings=position_embeddings, **kw)
+    mods = {}
 
-        fwd._ref_compat = True
-        ml.LlamaDecoderLayer.forward = fwd
-    return mod, ref_gptq
+    def load(arch):
+        if arch not in mods:
+            mods[arch] = _load_ref(f"ref_{arch}_e2e",
+                                   os.path.join(REF, ARCHES[arch]["file"]))
+        return mods[arch], ref_gptq
+
+    return load
 
 
-def _reference_ppl(ref_llama, model_dir, actorder):
+def _model_dir(tmp_path_factory, arch):
+    import hf_tiny
+    d = tmp_path_factory.mktemp(f"e2e_ppl_{arch}") / "model"
+    mdir, _ = getattr(hf_tiny, ARCHES[arch]["tiny"])(str(d))
+    return mdir
+
+
+def _reference_ppl(ref_env, arch, model_dir, actorder):
     """Quantize + eval with the reference's own code. Returns perplexity."""
     import torch
-    from transformers import LlamaForCausalLM
-    ref_mod, ref_gptq = ref_llama
-    model = LlamaForCausalLM.from_pretrained(model_dir, dtype=torch.float32)
+    import transformers
+    ref_mod, ref_gptq = ref_env(arch)
+    info = ARCHES[arch]
+    model = getattr(transformers, info["cls"]).from_pretrained(
+        model_dir, dtype=torch.float32)
     model.seqlen = SEQLEN
     cal, test = _calibration_and_test()
     dataloader = [(torch.from_numpy(c[None]), torch.zeros(1)) for c in cal]
@@ -127,13 +155,13 @@ def _reference_ppl(ref_llama, model_dir, actorder):
     ref_mod.args = args
     ref_gptq.args = args
     with contextlib.redirect_stdout(io.StringIO()):
-        ref_mod.llama_sequential(model, dataloader, torch.device("cpu"))
+        getattr(ref_mod, info["seq"])(model, dataloader, torch.device("cpu"))
     testenc = types.SimpleNamespace(input_ids=torch.from_numpy(test[None]))
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        ref_mod.llama_eval(model, testenc, torch.device("cpu"))
+        getattr(ref_mod, info["ev"])(model, testenc, torch.device("cpu"))
     lines = [l.strip() for l in buf.getvalue().splitlines() if l.strip()]
-    return float(lines[-1])  # llama_eval prints the ppl last (llama.py:259)
+    return float(lines[-1])  # *_eval prints the ppl last (llama.py:259)
 
 
 def _our_ppl(model_dir, actorder):
@@ -160,10 +188,12 @@ def _our_ppl(model_dir, actorder):
     return ppl_fake, ppl_packed
 
 
-@pytest.mark.parametrize("actorder", [False, True])
-def test_quantize_pack_eval_ppl_matches_reference(ref_llama, model_dir,
-                                                  actorder):
-    ref = _reference_ppl(ref_llama, model_dir, actorder)
+@pytest.mark.parametrize("arch,actorder", [("llama", False), ("llama", True),
+                                           ("opt", False), ("neox", False)])
+def test_quantize_pack_eval_ppl_matches_reference(ref_env, tmp_path_factory,
+                                                  arch, actorder):
+    model_dir = _model_dir(tmp_path_factory, arch)
+    ref = _reference_ppl(ref_env, arch, model_dir, actorder)
     fake, packed = _our_ppl(model_dir, actorder)
     # same data + bit-parity solver => same number. 1e-3 relative covers
     # fp32-vs-torch reduction-order noise; measured gap is ~1e-6 relative.
