@@ -164,3 +164,52 @@ def test_packed_buffers_match_reference(ref_quant_linear):
                                  ql.g_idx.numpy(), bits=BITS, dtype=jnp.float32)
     wd = np.asarray(pl_.dequantize(jnp.float32)).T  # (N, K)
     np.testing.assert_allclose(wd, w, atol=2e-4, rtol=1e-3)
+
+
+def test_reference_load_quant_accepts_our_checkpoint(ref_quant_linear,
+                                                     tmp_path):
+    """Full-checkpoint interchangeability, load direction: a checkpoint saved
+    by our pipeline loads into the reference's own quantized model skeleton
+    (make_quant_linear + strict load_state_dict — the state-dict half of
+    llama.py:279-310 load_quant; its triton warmup cannot run on CPU) with
+    every key, shape, and packed buffer accepted, and the packed buffers
+    byte-match what our PackedLinear reports as its wire form."""
+    import torch
+    import jax.numpy as jnp
+    import hf_tiny
+    from safetensors.torch import load_file as safe_load
+    from gptq_for_llama_tpu.cli.main import main
+
+    mdir, _ = hf_tiny.tiny_llama_dir(tmp_path / "m")
+    out = str(tmp_path / "packed")
+    main([mdir, "synthetic", "--wbits", "4", "--groupsize", "16",
+          "--nsamples", "4", "--chunk", "4", "--seqlen", "32", "--save", out])
+
+    from transformers import LlamaConfig, LlamaForCausalLM, modeling_utils
+    config = LlamaConfig.from_pretrained(mdir)
+    noop = lambda *a, **k: None
+    torch.nn.init.kaiming_uniform_ = noop
+    torch.nn.init.uniform_ = noop
+    torch.nn.init.normal_ = noop
+    modeling_utils._init_weights = False
+    model = LlamaForCausalLM(config).eval()
+    ref_mu = _load_ref("ref_modelutils_interop", os.path.join(REF, "utils/modelutils.py"))
+    find_layers = ref_mu.find_layers
+    layers = find_layers(model)
+    del layers["lm_head"]
+    ref_quant_linear.make_quant_linear(model, layers, 4, 16)
+
+    state = safe_load(os.path.join(out, "model.safetensors"))
+    model.load_state_dict(state, strict=True)  # every key/shape accepted
+
+    # spot-check byte parity of one packed buffer vs our loader's wire form
+    cfg, params = None, None
+    import gptq_for_llama_tpu.models.hf_loader as hf_loader
+    cfg, params = hf_loader.load_params(out, seqlen=32, dtype=jnp.float32)
+    wire = params["layers"][0]["self_attn"]["q_proj"].to_wire()
+    ql = model.model.layers[0].self_attn.q_proj
+    np.testing.assert_array_equal(wire["qweight"], ql.qweight.numpy())
+    np.testing.assert_array_equal(wire["qzeros"], ql.qzeros.numpy())
+    np.testing.assert_array_equal(wire["scales"],
+                                  ql.scales.numpy().astype(np.float16))
+    np.testing.assert_array_equal(wire["g_idx"], ql.g_idx.numpy())
