@@ -7,10 +7,11 @@ per-token latency on an RTX3090, reference llama.py:385-438); the north-star
 baseline is the chip's HBM roofline: decode is weight-bandwidth-bound, so
   roofline tok/s = achievable_HBM_bytes_per_s / bytes_read_per_token.
 vs_baseline reports the fraction of that roofline achieved (target >= 0.85,
-BASELINE.md). Achievable bandwidth is MEASURED in-process with a big
-read-reduce probe (nominal peak is meaningless through the axon subslice
-relay). Weights are random in the real packed INT4-g128 wire layout —
-identical compute/memory behavior to a real checkpoint.
+BASELINE.md). Achievable bandwidth is MEASURED once per chip with a robust
+kernel-slope probe and PINNED in ROOFLINE.json (nominal peak is meaningless
+through the axon subslice relay, and re-probing every run made the ratio's
+denominator jitter +-10%). Weights are random in the real packed INT4-g128
+wire layout — identical compute/memory behavior to a real checkpoint.
 
 Timing methodology: N greedy decode steps run inside ONE compiled program
 (lax.scan over the KV cache) — per-dispatch relay latency (~tens of ms here)
@@ -121,14 +122,16 @@ def model_weight_bytes(cfg, groupsize=128, quant_head=False):
     return cfg.num_layers * per_layer + lm_head
 
 
-def probe_hbm_bw():
+def probe_hbm_bw(samples: int = 5):
     """Measured achievable weight-stream bandwidth (GB/s): the TUNED fused
     dequant-matmul kernel on a synthetic 4096x12288 INT4-g128 layer at decode
     batch (m=8). This is the honest roofline basis for this workload class —
     generic XLA reduce loops and corner-touch Pallas streams are both
     grid-overhead bound on this chip (~110-390 GB/s) while the production
     kernel sustains 650-760 GB/s (scripts/kbench.py). Timed with the slope
-    method (u=1 vs u=5 chained calls) to cancel the relay per-iteration floor.
+    method (u=1 vs u=9 chained calls) to cancel the relay per-iteration floor;
+    the MEDIAN of `samples` interleaved slope estimates defends against relay
+    jitter (single-slope estimates move +-10% run to run).
     """
     import jax
     import jax.numpy as jnp
@@ -143,8 +146,9 @@ def probe_hbm_bw():
     zs = jnp.asarray(np.full((g, n), 0.01, np.float32), jnp.bfloat16)
     x = jnp.ones((8, k), jnp.bfloat16)
     wbytes = qw.size * 4 + s.size * 2 + zs.size * 2
+    iters = 100
 
-    def timed(unroll, iters):
+    def make_loop(unroll):
         def body(i, c):
             for _ in range(unroll):
                 y = pk._qmm_2d(c, qw, s, zs, 4, gs)
@@ -152,21 +156,61 @@ def probe_hbm_bw():
             return c
 
         loop = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-        np.asarray(loop(x))
+        np.asarray(loop(x))  # compile + warm
+        return loop
+
+    loop1, loop9 = make_loop(1), make_loop(9)
+
+    def best_of(loop, reps=3):
         best = np.inf
-        for _ in range(4):
+        for _ in range(reps):
             t0 = time.perf_counter()
             np.asarray(loop(x))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    iters = 100
-    t1, t9 = timed(1, iters), timed(9, iters)
-    per_call = (t9 - t1) / (iters * 8)
-    bw = wbytes / max(per_call, 1e-9) / 1e9
-    # relay jitter can corrupt the slope; clamp to the physically plausible
-    # band for this chip (v5e nominal 819 GB/s)
-    return float(np.clip(bw, 100.0, 860.0))
+    bws = []
+    for _ in range(samples):
+        per_call = (best_of(loop9) - best_of(loop1)) / (iters * 8)
+        bws.append(wbytes / max(per_call, 1e-9) / 1e9)
+    # clamp to the physically plausible band for this chip (v5e nominal 819)
+    return float(np.clip(np.median(bws), 100.0, 860.0))
+
+
+ROOFLINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "ROOFLINE.json")
+
+
+def pinned_roofline_bw(stage=lambda *_: None):
+    """The roofline denominator, PINNED per chip: calibrated once with the
+    robust probe and persisted to ROOFLINE.json so vs_baseline is stable
+    across runs (the tok/s numerator is the only thing that moves).
+    BENCH_RECALIBRATE=1 forces a fresh calibration.
+    """
+    if os.environ.get("BENCH_RECALIBRATE", "") != "1":
+        try:
+            with open(ROOFLINE_PATH) as f:
+                rec = json.load(f)
+            stage(f"roofline basis: {rec['achievable_gbps']} GB/s "
+                  f"(pinned, {ROOFLINE_PATH})")
+            return float(rec["achievable_gbps"])
+        except (OSError, KeyError, ValueError):
+            pass
+    bw = probe_hbm_bw()
+    rec = {
+        "achievable_gbps": round(bw, 1),
+        "method": "median of 5 slope estimates (u=9 vs u=1 chained calls, "
+                  "100-iter fori loops, best-of-3 each) of the tuned fused "
+                  "dequant-GEMM on a 4096x12288 INT4-g128 layer at m=8",
+        "chip": "v5e via axon relay",
+    }
+    try:
+        with open(ROOFLINE_PATH, "w") as f:
+            json.dump(rec, f, indent=2)
+    except OSError:
+        pass
+    stage(f"roofline basis: {rec['achievable_gbps']} GB/s (freshly calibrated)")
+    return bw
 
 
 def main():
@@ -222,7 +266,7 @@ def main():
     tok_s = 1.0 / dt
     stage(f"timed: {dt * 1e3:.2f} ms/token")
 
-    bw = probe_hbm_bw() if backend != "cpu" else 10.0
+    bw = pinned_roofline_bw(stage) if backend != "cpu" else 10.0
     roofline = bw * 1e9 / model_weight_bytes(cfg, quant_head=quant_head)
     print(json.dumps({
         "metric": ("tiny_llama_int4_decode_tokens_per_s" if tiny else
