@@ -242,7 +242,8 @@ def main():
 
     max_len = 256 if not tiny else 64
     runner = ModelRunner("llama", cfg, params, batch_size=1,
-                         max_seq_len=max_len, dtype=dtype)
+                         max_seq_len=max_len, dtype=dtype,
+                         fuse_qkv=os.environ.get("BENCH_FUSE_QKV", "") == "1")
     cache = runner.init_cache()
     # seed the cache teacher-forced through the (fast-compiling) decode step —
     # the unrolled-layers prefill program takes ~20 min through the remote

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend use (auto-detect on TPU pods, or "
                         "GPTQ_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID; "
                         "see parallel/distributed.py for the launch recipe)")
+    p.add_argument("--fuse-attn", action="store_true", dest="fuse_attn",
+                   help="fuse q/k/v into one packed projection at load "
+                        "(the reference's make_quant_attn)")
     p.add_argument("--pre-layer", type=int, default=None, dest="pre_layer",
                    help="keep only the first N layers device-resident and "
                         "stream the rest from host memory (the reference's "
@@ -183,7 +186,8 @@ def main(argv=None):
         with timer.phase("benchmark"), trace():
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
                                  max_seq_len=max(n, 32),
-                                 mesh=mesh, shard_map_tp=mesh is not None)
+                                 mesh=mesh, shard_map_tp=mesh is not None,
+                                 fuse_qkv=args.fuse_attn)
             res = benchmark_decode(runner,
                                    np.asarray(test).reshape(-1)[:n][None],
                                    check=args.check)
@@ -210,7 +214,8 @@ def main(argv=None):
             from ..runtime import ModelRunner, generate
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
                                  max_seq_len=max_len,
-                                 mesh=mesh, shard_map_tp=mesh is not None)
+                                 mesh=mesh, shard_map_tp=mesh is not None,
+                                 fuse_qkv=args.fuse_attn)
             out = generate(runner, ids, args.max_new_tokens,
                            temperature=args.temperature, top_p=args.top_p,
                            min_new_tokens=args.min_new_tokens,

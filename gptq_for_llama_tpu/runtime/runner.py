@@ -101,13 +101,20 @@ class ModelRunner:
     def __init__(self, arch_name: str, cfg, params, batch_size: int = 1,
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
-                 dp_axis: str = "dp", unroll_layers: Optional[bool] = None):
+                 dp_axis: str = "dp", unroll_layers: Optional[bool] = None,
+                 fuse_qkv: bool = False):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
         self.batch = batch_size
         self.max_len = max_seq_len or cfg.max_seq_len
         self.dtype = dtype
+        if fuse_qkv and hasattr(self.arch, "fuse_attention"):
+            # load-time q/k/v concat (make_quant_attn equivalent): one packed
+            # weight stream + one kernel launch replace three per layer
+            assert not (mesh is not None and shard_map_tp), \
+                "fuse_qkv: TP shards q/k/v separately (TP_RULES); unfused"
+            params = self.arch.fuse_attention(params)
         self._tp = None
         if mesh is not None and shard_map_tp:
             from ..parallel import tp_model

@@ -191,3 +191,49 @@ def test_unrolled_layers_matches_scan():
     lg_b, tk_b = run(unr)
     np.testing.assert_array_equal(tk_a, tk_b)
     np.testing.assert_allclose(lg_b, lg_a, atol=2e-4, rtol=1e-3)
+
+
+def test_runner_fuse_qkv_matches_unfused():
+    """ModelRunner(fuse_qkv=True) — the production make_quant_attn wiring —
+    must decode the same greedy tokens as the unfused runner."""
+    import jax
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.models import registry
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    from gptq_for_llama_tpu.engine.quantize import get_path, set_path
+    from gptq_for_llama_tpu.quant import packing
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+    from gptq_for_llama_tpu.runtime import ModelRunner, generate
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=64,
+                      intermediate_size=128, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=16, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    rng = np.random.RandomState(5)
+    for lp in params["layers"]:
+        for name in arch.LAYER_LINEARS:
+            lin = get_path(lp, name)
+            k, n = lin["kernel"].shape
+            g = k // 16
+            codes = rng.randint(0, 16, size=(k, n), dtype=np.int64).astype(np.uint32)
+            wire = {"qweight": packing.pack_rows(codes, 4),
+                    "qzeros": packing.pack_cols(np.full((g, n), 7, np.uint32) - 1, 4),
+                    "scales": (rng.rand(g, n) * 0.02 + 0.005).astype(np.float16),
+                    "g_idx": (np.arange(k) // 16).astype(np.int32)}
+            set_path(lp, name, PackedLinear.from_wire(
+                wire["qweight"], wire["qzeros"], wire["scales"], wire["g_idx"],
+                bits=4, dtype=jnp.float32))
+    import copy
+    p2 = jax.tree_util.tree_map(lambda x: x, params)
+    p2 = {"layers": [dict(lp, self_attn=dict(lp["self_attn"])) for lp in params["layers"]],
+          **{k: v for k, v in params.items() if k != "layers"}}
+    prompt = np.array([1, 2, 3, 4], np.int32)
+    r1 = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                     dtype=jnp.float32)
+    out1 = generate(r1, prompt, 8, temperature=0.0)
+    r2 = ModelRunner("llama", cfg, p2, batch_size=1, max_seq_len=32,
+                     dtype=jnp.float32, fuse_qkv=True)
+    assert "qkv_proj" in r2.params["layers"][0]["self_attn"]
+    out2 = generate(r2, prompt, 8, temperature=0.0)
+    np.testing.assert_array_equal(out1, out2)
