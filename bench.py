@@ -105,6 +105,74 @@ def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
     }
 
 
+def random_wire_llama(cfg, dtype, groupsize=128):
+    """Random weights in the WIRE format, loaded via PackedLinear.from_wire —
+    the same layout-transform path a real checkpoint takes (BENCH_LOAD_PATH)."""
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.ops.linear import PackedLinear, dense
+
+    rng = np.random.RandomState(0)
+    shape_cache = {}
+
+    def packed(k, n):
+        if (k, n) in shape_cache:
+            return shape_cache[(k, n)]
+        g = k // groupsize
+        qweight = rng.randint(-2**31, 2**31, size=(k * 4 // 32, n),
+                              dtype=np.int32)
+        qzeros = rng.randint(-2**31, 2**31, size=(g, n * 4 // 32),
+                             dtype=np.int32)
+        scales = (rng.rand(g, n) * 0.004 + 0.001).astype(np.float16)
+        g_idx = (np.arange(k) // groupsize).astype(np.int32)
+        lin = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=4,
+                                     dtype=dtype)
+        shape_cache[(k, n)] = lin
+        return lin
+
+    h, inter, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    emb = (rng.rand(v, h).astype(np.float32) * 0.02)
+    layers = []
+    for _ in range(cfg.num_layers):
+        layers.append({
+            "input_layernorm": jnp.ones((h,), dtype),
+            "post_attention_layernorm": jnp.ones((h,), dtype),
+            "self_attn": {
+                "q_proj": packed(h, cfg.num_heads * cfg.head_dim),
+                "k_proj": packed(h, cfg.num_kv_heads * cfg.head_dim),
+                "v_proj": packed(h, cfg.num_kv_heads * cfg.head_dim),
+                "o_proj": packed(cfg.num_heads * cfg.head_dim, h),
+            },
+            "mlp": {
+                "gate_proj": packed(h, inter),
+                "up_proj": packed(h, inter),
+                "down_proj": packed(inter, h),
+            },
+        })
+    return {"embed_tokens": jnp.asarray(emb, dtype), "layers": layers,
+            "norm": jnp.ones((h,), dtype),
+            "lm_head": dense(jnp.asarray(emb.T * 0.02, dtype))}
+
+
+def checkpoint_roundtrip(cfg, params, dtype, stage):
+    """BENCH_LOAD_PATH=1: drive the REAL checkpoint path at model scale —
+    save a packed checkpoint to disk, reload through hf_loader (safetensors
+    read + from_wire device-layout transforms), and bench the reloaded model."""
+    import shutil
+    import tempfile
+    from gptq_for_llama_tpu.engine.checkpoint import save_packed
+    from gptq_for_llama_tpu.models import hf_loader
+
+    d = tempfile.mkdtemp(prefix="bench_ckpt_")
+    t0 = time.perf_counter()
+    save_packed(d, "llama", cfg, params)
+    stage(f"checkpoint saved ({time.perf_counter() - t0:.1f}s, {d})")
+    t0 = time.perf_counter()
+    _, reloaded = hf_loader.load_params(d, seqlen=cfg.max_seq_len, dtype=dtype)
+    stage(f"checkpoint reloaded via hf_loader ({time.perf_counter() - t0:.1f}s)")
+    shutil.rmtree(d, ignore_errors=True)
+    return reloaded
+
+
 def model_weight_bytes(cfg, groupsize=128, quant_head=False):
     """HBM bytes read per decode token: packed buffers + dense lm_head."""
     h, inter = cfg.hidden_size, cfg.intermediate_size
@@ -236,7 +304,12 @@ def main():
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
     quant_head = os.environ.get("BENCH_QHEAD", "") == "1"
     stage(f"backend={backend} tiny={tiny} qhead={quant_head}; building weights")
-    params = random_packed_llama(cfg, dtype, quant_head=quant_head)
+    if os.environ.get("BENCH_LOAD_PATH", "") == "1":
+        params = random_wire_llama(cfg, dtype)
+        jax.block_until_ready(params["embed_tokens"])
+        params = checkpoint_roundtrip(cfg, params, dtype, stage)
+    else:
+        params = random_packed_llama(cfg, dtype, quant_head=quant_head)
     jax.block_until_ready(params["embed_tokens"])
     stage("weights on device")
 

@@ -154,8 +154,12 @@ class ModelRunner:
         # token-scan partial unroll: each lax.scan iteration pays a fixed
         # per-iteration cost on the dispatch path (~0.6 ms through the axon
         # relay); unrolling 4 steps per iteration amortizes it
-        # (7.44 -> 6.98 ms/token measured; scripts/decomp.py unroll_tok4)
-        self._token_unroll = 4 if jax.default_backend() == "tpu" else 1
+        # (7.44 -> 6.98 ms/token measured; scripts/decomp.py unroll_tok4).
+        # GPTQ_TPU_TOKEN_UNROLL overrides for sweeps.
+        import os
+        self._token_unroll = int(os.environ.get(
+            "GPTQ_TPU_TOKEN_UNROLL",
+            "4" if jax.default_backend() == "tpu" else "1"))
         self._decode = jax.jit(self._step_fn(1))
         self._decode_scan_cache: dict[int, callable] = {}
 
