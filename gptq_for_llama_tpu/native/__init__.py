@@ -78,8 +78,11 @@ def get_lib():
             lib.quantize_to_codes.argtypes = [f32p, f32p, f32p, i32p, u32p,
                                               ctypes.c_int64, ctypes.c_int64,
                                               ctypes.c_int64]
+            lib.gather_rows_packed.argtypes = [u32p, u32p, i32p,
+                                               ctypes.c_int64, ctypes.c_int64,
+                                               ctypes.c_int]
             lib.packlib_version.restype = ctypes.c_int
-            assert lib.packlib_version() == 2
+            assert lib.packlib_version() == 3
             _LIB = lib
         except Exception:
             _LIB = None
@@ -105,6 +108,22 @@ def unpack_rows(packed: np.ndarray, bits: int, k: int) -> np.ndarray | None:
     n = int(np.prod(packed.shape[1:], dtype=np.int64))
     out = np.empty((k,) + packed.shape[1:], dtype=np.uint32)
     lib.unpack_rows(packed.reshape(-1, n), out.reshape(k, n), k, n, bits)
+    return out.view(np.int32)
+
+
+def gather_rows_packed(packed: np.ndarray, perm: np.ndarray,
+                       bits: int) -> np.ndarray | None:
+    """codes-row gather on packed words: out row r = in row perm[r]."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed).view(np.uint32)
+    perm = np.ascontiguousarray(perm, dtype=np.int32)
+    k = perm.shape[0]
+    n = int(np.prod(packed.shape[1:], dtype=np.int64))
+    out = np.empty_like(packed)
+    lib.gather_rows_packed(packed.reshape(-1, n), out.reshape(-1, n),
+                           perm, k, n, bits)
     return out.view(np.int32)
 
 

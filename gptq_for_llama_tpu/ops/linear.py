@@ -95,8 +95,7 @@ class PackedLinear:
         perm = None
         if np.any(np.diff(g_idx) < 0):  # act-order checkpoint: group-sort rows
             perm = np.argsort(g_idx, kind="stable").astype(np.int32)
-            codes = packing.unpack_rows(qweight, bits, k=k)
-            qweight = packing.pack_rows(codes[perm], bits)
+            qweight = packing.gather_rows_packed(qweight, perm, bits)
 
         zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
         # wire scales are fp16 by format; keep the exact buffer for to_wire
@@ -117,9 +116,10 @@ class PackedLinear:
             if (k // groupsize) % 8 != 0 and (cand - k) * 8 <= k:
                 kp = cand
             if kp != k:
-                codes = packing.unpack_rows(np.asarray(qweight), bits, k=k)
-                codes = np.pad(codes, ((0, kp - k), (0, 0)))
-                qweight = packing.pack_rows(codes.astype(np.uint32), bits)
+                # zero code rows pack to zero words, and kp-k is whole groups
+                # (whole words): pad the PACKED buffer directly
+                qweight = np.pad(np.asarray(qweight),
+                                 ((0, (kp - k) * bits // 32), (0, 0)))
                 gp = (kp - k) // groupsize
                 scales = np.concatenate(
                     [scales, np.ones((gp, n), scales.dtype)], axis=0)
@@ -194,13 +194,11 @@ class PackedLinear:
         k = self.in_features
         if self.layout == "tpu":
             qweight = packing.from_tpu_layout(qweight, self.bits, self.groupsize)
-            if self.k_padded != k:  # drop the K padding
-                codes = packing.unpack_rows(qweight, self.bits, k=k)
-                qweight = packing.pack_rows(codes.astype(np.uint32), self.bits)
+            if self.k_padded != k:  # drop the K padding (whole packed words)
+                qweight = qweight[:k * self.bits // 32]
         if self.perm is not None:
-            codes = packing.unpack_rows(qweight, self.bits, k=k)
-            inv = np.argsort(np.asarray(self.perm))
-            qweight = packing.pack_rows(codes[inv], self.bits)
+            inv = np.argsort(np.asarray(self.perm)).astype(np.int32)
+            qweight = packing.gather_rows_packed(qweight, inv, self.bits)
         g = k // self.groupsize if self.groupsize > 0 and k % self.groupsize == 0 \
             else self.scales.shape[0]
         scales = (np.asarray(self.scales_wire, dtype=np.float16)

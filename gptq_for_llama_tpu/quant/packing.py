@@ -166,6 +166,26 @@ def unpack_cols_jnp(packed, bits: int, n: int | None = None):
 # group's rows in their original order — no interleave, no activation perm.
 
 
+def gather_rows_packed(packed: np.ndarray, perm: np.ndarray,
+                       bits: int) -> np.ndarray:
+    """codes[perm] WITHOUT unpacking: out code-row r = in code-row perm[r].
+
+    The word-level gather behind every packed-layout transform (group
+    interleave, act-order sort, and their inverses). C++ one-pass fast path
+    (native/packlib.cpp gather_rows_packed — ~15x over unpack/index/repack,
+    the CPU bottleneck of loading multi-GB checkpoints); numpy fallback.
+    """
+    perm = np.asarray(perm, np.int32)
+    k = perm.shape[0]
+    if bits != 3 and k % (32 // bits) == 0:
+        from .. import native
+        out = native.gather_rows_packed(packed, perm, bits)
+        if out is not None:
+            return out
+    return pack_rows(unpack_rows(packed, bits, k=k)[perm].astype(np.uint32),
+                     bits)
+
+
 def _tpu_perm(groupsize: int, bits: int) -> np.ndarray:
     """Row permutation within one group: packed_row[i] = orig_row[perm[i]]."""
     ipw = 32 // bits
@@ -218,16 +238,20 @@ def _codes_from_tpu3(packed: np.ndarray, groupsize: int) -> np.ndarray:
     return out.reshape(g * groupsize, n)
 
 
+def _tiled_perm(perm: np.ndarray, k: int, groupsize: int) -> np.ndarray:
+    """Per-group row permutation -> full-K code-row permutation."""
+    g = k // groupsize
+    return (np.arange(g, dtype=np.int64)[:, None] * groupsize
+            + perm[None, :]).reshape(-1).astype(np.int32)
+
+
 def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
     """Wire-packed (K*bits/32, N) -> TPU-layout packed, same shape."""
     k = qweight.shape[0] * 32 // bits
-    codes = unpack_rows(qweight, bits, k=k)
     if bits == 3:
-        return _codes_to_tpu3(codes, groupsize)
+        return _codes_to_tpu3(unpack_rows(qweight, bits, k=k), groupsize)
     perm = _tpu_perm(groupsize, bits)
-    g = k // groupsize
-    codes = codes.reshape(g, groupsize, -1)[:, perm, :].reshape(k, -1)
-    return pack_rows(codes.astype(np.uint32), bits)
+    return gather_rows_packed(qweight, _tiled_perm(perm, k, groupsize), bits)
 
 
 def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
@@ -235,12 +259,8 @@ def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarra
     if bits == 3:
         return pack_rows(_codes_from_tpu3(qweight, groupsize).astype(np.uint32), 3)
     k = qweight.shape[0] * 32 // bits
-    codes = unpack_rows(qweight, bits, k=k)
-    perm = _tpu_perm(groupsize, bits)
-    inv = np.argsort(perm)
-    g = k // groupsize
-    codes = codes.reshape(g, groupsize, -1)[:, inv, :].reshape(k, -1)
-    return pack_rows(codes.astype(np.uint32), bits)
+    inv = np.argsort(_tpu_perm(groupsize, bits))
+    return gather_rows_packed(qweight, _tiled_perm(inv, k, groupsize), bits)
 
 
 def unpack_rows_tpu_jnp(packed, bits: int, groupsize: int):

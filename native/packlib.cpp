@@ -118,6 +118,34 @@ void quantize_to_codes(const float* w, const float* scales, const float* zeros,
   }
 }
 
-int packlib_version() { return 2; }
+// Gather rows of a bit-packed matrix WITHOUT materializing unpacked codes:
+// out codes row r = in codes row perm[r], word-level (one pass, no 32/bits-x
+// inflated intermediate). Covers the checkpoint-load device-layout transform
+// (to/from_tpu_layout's per-group interleave) and act-order group-sorting —
+// the CPU bottleneck of loading a multi-GB packed checkpoint.
+// in/out: (K*bits/32, N) uint32 row-major; perm: (K,) with values in [0, K).
+// 2/4/8-bit only (3-bit straddles words; python path handles it).
+void gather_rows_packed(const uint32_t* in, uint32_t* out, const int32_t* perm,
+                        int64_t k, int64_t n, int bits) {
+  const int64_t ipw = 32 / bits;
+  const uint32_t mask = (1u << bits) - 1u;
+  const int64_t words = k / ipw;
+#pragma omp parallel for
+  for (int64_t w = 0; w < words; ++w) {
+    uint32_t* dst = out + w * n;
+    const int32_t* p = perm + w * ipw;
+    std::memset(dst, 0, (size_t)n * sizeof(uint32_t));
+    for (int64_t j = 0; j < ipw; ++j) {
+      const int64_t r = (int64_t)p[j];
+      const uint32_t* src = in + (r / ipw) * n;
+      const int is = (int)(r % ipw) * bits;
+      const int os = (int)j * bits;
+      for (int64_t col = 0; col < n; ++col)
+        dst[col] |= ((src[col] >> is) & mask) << os;
+    }
+  }
+}
+
+int packlib_version() { return 3; }
 
 }  // extern "C"

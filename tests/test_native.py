@@ -77,3 +77,21 @@ def test_native_quantize_ties_and_wrap():
     np.testing.assert_array_equal(got, want)
     # ties went to even; -1 wrapped to 0xffffffff viewed as int32 -1
     assert got.reshape(-1).tolist() == [0, 2, 2, 0, -2, -1, 3, 16]
+
+
+def test_gather_rows_packed_matches_numpy():
+    """Word-level packed-row gather (C++ and fallback) == unpack/index/repack."""
+    from gptq_for_llama_tpu.quant import packing
+    from gptq_for_llama_tpu import native
+    rng = np.random.RandomState(0)
+    for bits in (2, 4, 8):
+        k, n = 256, 96
+        codes = rng.randint(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+        packed = packing.pack_rows(codes, bits)
+        perm = rng.permutation(k).astype(np.int32)
+        want = packing.pack_rows(codes[perm], bits)
+        got = packing.gather_rows_packed(packed, perm, bits)
+        np.testing.assert_array_equal(got, want)
+        if native.get_lib() is not None:
+            got_native = native.gather_rows_packed(packed, perm, bits)
+            np.testing.assert_array_equal(got_native, want)
