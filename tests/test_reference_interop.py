@@ -187,12 +187,21 @@ def test_reference_load_quant_accepts_our_checkpoint(ref_quant_linear,
 
     from transformers import LlamaConfig, LlamaForCausalLM, modeling_utils
     config = LlamaConfig.from_pretrained(mdir)
+    # skip weight init (all buffers are about to be overwritten by the
+    # checkpoint) — restore the patched globals so later tests in this
+    # process still get initialized torch models
     noop = lambda *a, **k: None
+    saved = (torch.nn.init.kaiming_uniform_, torch.nn.init.uniform_,
+             torch.nn.init.normal_, modeling_utils._init_weights)
     torch.nn.init.kaiming_uniform_ = noop
     torch.nn.init.uniform_ = noop
     torch.nn.init.normal_ = noop
     modeling_utils._init_weights = False
-    model = LlamaForCausalLM(config).eval()
+    try:
+        model = LlamaForCausalLM(config).eval()
+    finally:
+        (torch.nn.init.kaiming_uniform_, torch.nn.init.uniform_,
+         torch.nn.init.normal_, modeling_utils._init_weights) = saved
     ref_mu = _load_ref("ref_modelutils_interop", os.path.join(REF, "utils/modelutils.py"))
     find_layers = ref_mu.find_layers
     layers = find_layers(model)
