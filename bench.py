@@ -303,6 +303,11 @@ def main():
     cfg = build_cfg(tiny)
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
     quant_head = os.environ.get("BENCH_QHEAD", "") == "1"
+    if quant_head and os.environ.get("BENCH_LOAD_PATH", "") == "1":
+        # the wire-checkpoint builder has a dense head only; keep the
+        # roofline denominator consistent with what actually runs
+        stage("BENCH_QHEAD ignored in BENCH_LOAD_PATH mode (dense head)")
+        quant_head = False
     stage(f"backend={backend} tiny={tiny} qhead={quant_head}; building weights")
     if os.environ.get("BENCH_LOAD_PATH", "") == "1":
         params = random_wire_llama(cfg, dtype)

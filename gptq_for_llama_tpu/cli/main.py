@@ -92,7 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.fuse_attn and args.tp is not None:
+        parser.error("--fuse-attn is incompatible with --tp: shard_map TP "
+                     "shards q/k/v separately (TP_RULES)")
     if args.distributed:
         import os
         from ..parallel.distributed import initialize

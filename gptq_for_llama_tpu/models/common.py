@@ -193,9 +193,13 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     q: (B, Sq, H, D); k, v: (B, Skv, Hkv, D) with H a multiple of Hkv (GQA).
     mask: additive (Sq, Skv) or (B, 1, Sq, Skv). Returns (B, Sq, H, D).
 
-    decode_offset: when given and Sq == 1, k/v are a static cache whose valid
-    slots are <= offset — dispatches to the fused Pallas decode-attention
-    kernel on TPU (mask is then ignored; it encodes the same predicate).
+    decode_offset: when given as a scalar, k/v are a static cache whose
+    valid slots are < offset + Sq; passing it DECLARES that `mask` encodes
+    exactly the causal-at-offset predicate (decode_mask(Sq, Skv, offset)) —
+    TPU dispatches to the fused decode kernel (Sq == 1) or the blocked
+    flash prefill kernel (Sq > 1), both of which apply that predicate and
+    ignore `mask`. Callers with any other mask (padding, ragged batches)
+    must leave decode_offset unset.
     causal: asserts mask is plain causal self-attention — dispatches long
     prefills to the VMEM-resident flash kernel on TPU.
     """
@@ -249,16 +253,25 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
                                          interpret=forced == "pallas"
                                          and jax.default_backend() != "tpu")
     # long prefill: chunk the query axis so the (B, H, Sq, Skv) fp32 logits
-    # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2)
+    # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2).
+    # Also reached with a SCALAR decode_offset when the blocked flash kernel
+    # declined the shape (e.g. head_dim % 128 != 0): each query chunk carries
+    # offset + qs so large cached-prefill chunks stay bounded too.
     _Q_CHUNK = 256
-    if sq > _Q_CHUNK and sq % _Q_CHUNK == 0 and decode_offset is None:
+    scalar_off = (decode_offset is not None
+                  and not isinstance(decode_offset, tuple)
+                  and jnp.ndim(decode_offset) == 0)
+    if sq > _Q_CHUNK and sq % _Q_CHUNK == 0 and (
+            decode_offset is None or scalar_off):
         outs = []
         for qs in range(0, sq, _Q_CHUNK):
             m = mask
             if m is not None:
                 m = m[..., qs:qs + _Q_CHUNK, :] if m.ndim == 4 \
                     else m[qs:qs + _Q_CHUNK]
-            outs.append(sdpa(q[:, qs:qs + _Q_CHUNK], k, v, m, scale))
+            outs.append(sdpa(q[:, qs:qs + _Q_CHUNK], k, v, m, scale,
+                             decode_offset=None if decode_offset is None
+                             else decode_offset + qs))
         return jnp.concatenate(outs, axis=1)
     if decode_offset is not None and sq == 1:
         import os

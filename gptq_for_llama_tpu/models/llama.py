@@ -138,26 +138,36 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
 
 
 def fuse_attention(params):
-    """Fuse per-layer q/k/v PackedLinears into one qkv_proj (in place).
+    """Fuse per-layer q/k/v PackedLinears into one qkv_proj.
 
     The module-surgery equivalent of the reference's make_quant_attn
     (reference: quant/fused_attn.py:164-204). No-op for layers whose q/k/v are
-    dense or have incompatible layouts.
-    """
+    dense or have incompatible layouts. Returns a tree whose edited dicts are
+    COPIES — the caller's params keep their unfused q/k/v (array leaves are
+    shared, so no device memory is duplicated)."""
     from ..ops.linear import PackedLinear
+    out = dict(params)
+    out["layers"] = []
     for lp in params["layers"]:
         att = lp["self_attn"]
         lins = [att.get(n) for n in ("q_proj", "k_proj", "v_proj")]
-        if not all(isinstance(l, PackedLinear) for l in lins):
+        if all(isinstance(l, PackedLinear) for l in lins):
+            try:
+                fused = PackedLinear.concat_outputs(lins)
+            except ValueError:
+                fused = None
+        else:
+            fused = None
+        if fused is None:
+            out["layers"].append(lp)
             continue
-        try:
-            fused = PackedLinear.concat_outputs(lins)
-        except ValueError:
-            continue
+        att = {k: v for k, v in att.items()
+               if k not in ("q_proj", "k_proj", "v_proj")}
         att["qkv_proj"] = fused
-        for n in ("q_proj", "k_proj", "v_proj"):
-            del att[n]
-    return params
+        lp = dict(lp)
+        lp["self_attn"] = att
+        out["layers"].append(lp)
+    return out
 
 
 def head_input(params, cfg: ModelConfig, x):

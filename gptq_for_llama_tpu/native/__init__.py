@@ -37,19 +37,31 @@ def _build() -> str | None:
             digest = hashlib.sha256(f.read()).hexdigest()[:16]
     except OSError:
         return None
-    so = os.path.join(os.path.dirname(_SRC), f"packlib-{digest}.so")
+    ndir = os.path.dirname(_SRC)
+    so = os.path.join(ndir, f"packlib-{digest}.so")
     if os.path.exists(so):
         return so
+    tmp = so + f".tmp{os.getpid()}"
     try:
-        tmp = so + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-march=native",
              _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, so)  # atomic: concurrent builders race benignly
-        return so
     except Exception:
+        try:
+            os.unlink(tmp)  # don't leak partial outputs of failed builds
+        except OSError:
+            pass
         return None
+    for old in os.listdir(ndir):  # prune caches of older source revisions
+        if (old.startswith("packlib-") and old != os.path.basename(so)
+                and (old.endswith(".so") or ".so.tmp" in old)):
+            try:
+                os.unlink(os.path.join(ndir, old))
+            except OSError:
+                pass
+    return so
 
 
 def get_lib():

@@ -24,6 +24,35 @@ import numpy as np
 from ..quant import packing
 
 
+class HostBuf:
+    """Host-resident save-only buffer carried through pytree AUX data.
+
+    Wraps a numpy array that compute never reads (e.g. the original
+    fp16 wire scales kept for byte-exact to_wire). Living in aux rather
+    than the children keeps it off the device (no HBM, no H2D per step)
+    and out of every jitted step's argument tree, while surviving
+    tree_map/device_put/shard_map untouched. Equality/hash are keyed on
+    (shape, dtype) only: treedefs built from the same model structure
+    compare equal, and a false jit-cache hit is harmless because no
+    compiled program ever depends on the contents."""
+
+    __slots__ = ("arr",)
+
+    def __init__(self, arr):
+        self.arr = np.asarray(arr)
+
+    def __eq__(self, other):
+        return (isinstance(other, HostBuf)
+                and other.arr.shape == self.arr.shape
+                and other.arr.dtype == self.arr.dtype)
+
+    def __hash__(self):
+        return hash((self.arr.shape, str(self.arr.dtype)))
+
+    def __repr__(self):
+        return f"HostBuf({self.arr.shape}, {self.arr.dtype})"
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class PackedLinear:
@@ -57,24 +86,25 @@ class PackedLinear:
     # 'wire' = reference row-major nibble order; 'tpu' = group-local nibble
     # interleave so kernels unpack by concat (see quant/packing.py TPU layout)
     layout: str = "wire"
-    # original wire-precision fp16 scales, UNPADDED (G, N) — compute never
+    # original wire-precision fp16 scales, UNPADDED (G, N), HOST-side
+    # (HostBuf, rides in pytree aux — never on device) — compute never
     # reads this; to_wire returns it so a load->save round trip is
     # byte-identical even when the compute `scales` dtype (bf16) cannot
     # represent fp16 exactly. None on shard-local TP params (not a save path).
-    scales_wire: Optional[jax.Array] = None
+    scales_wire: Optional[HostBuf] = None
 
     def tree_flatten(self):
         children = (self.qweight, self.qzeros, self.scales, self.zeros,
-                    self.g_idx, self.perm, self.bias, self.scales_wire)
+                    self.g_idx, self.perm, self.bias)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features,
-               self.layout)
+               self.layout, self.scales_wire)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (qweight, qzeros, scales, zeros, g_idx, perm, bias,
-         scales_wire) = children
-        bits, groupsize, in_features, out_features, layout = aux
+        qweight, qzeros, scales, zeros, g_idx, perm, bias = children
+        (bits, groupsize, in_features, out_features, layout,
+         scales_wire) = aux
         return cls(qweight, qzeros, scales, zeros, g_idx, perm, bias,
                    bits, groupsize, in_features, out_features, layout,
                    scales_wire)
@@ -138,7 +168,7 @@ class PackedLinear:
             bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
             layout=layout,
-            scales_wire=jnp.asarray(scales_wire),
+            scales_wire=HostBuf(scales_wire),
         )
 
     @staticmethod
@@ -159,7 +189,6 @@ class PackedLinear:
             if (b.perm is None) != (a.perm is None) or (
                     a.perm is not None and not bool(jnp.all(a.perm == b.perm))):
                 raise ValueError("fuse: differing input permutations")
-        import numpy as _np
         qweight = jnp.concatenate([l.qweight for l in linears], axis=1)
         qzeros = jnp.concatenate([l.qzeros for l in linears], axis=1)
         scales = jnp.concatenate([l.scales for l in linears], axis=1)
@@ -174,8 +203,8 @@ class PackedLinear:
             bias = None
         scales_wire = None
         if all(l.scales_wire is not None for l in linears):
-            scales_wire = jnp.concatenate([l.scales_wire for l in linears],
-                                          axis=1)
+            scales_wire = HostBuf(np.concatenate(
+                [l.scales_wire.arr for l in linears], axis=1))
         return PackedLinear(
             qweight=qweight, qzeros=qzeros, scales=scales, zeros=zeros,
             g_idx=a.g_idx, perm=a.perm, bias=bias, bits=a.bits,
@@ -201,7 +230,7 @@ class PackedLinear:
             qweight = packing.gather_rows_packed(qweight, inv, self.bits)
         g = k // self.groupsize if self.groupsize > 0 and k % self.groupsize == 0 \
             else self.scales.shape[0]
-        scales = (np.asarray(self.scales_wire, dtype=np.float16)
+        scales = (np.asarray(self.scales_wire.arr, dtype=np.float16)
                   if self.scales_wire is not None
                   else np.asarray(self.scales, dtype=np.float16))
         out = {

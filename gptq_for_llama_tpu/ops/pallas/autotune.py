@@ -124,28 +124,10 @@ def store(kind: str, k: int, n: int, bits: int, gs: int, m: int, best,
 
 def candidates(k: int, n: int, gs: int, bits: int, n_weights: int = 1):
     """All Mosaic-valid (groups_per_tile, block_n) tilings for this shape,
-    ordered by the heuristic's preference (its pick first)."""
-    from .matmul import _QW_TILE_BYTES, _TARGET_TILE, _best_blocks
-    g = k // gs
-    out = []
-    for bg in (8, 16, 32):
-        if g % bg:
-            continue
-        rows = bg * gs * bits // 32
-        for bn in (2048, 1024, 512, 256, 128):
-            if n % bn:
-                continue
-            tile = rows * bn * 4 * n_weights
-            if tile > _QW_TILE_BYTES:
-                continue
-            out.append((abs(tile - _TARGET_TILE), bg, bn))
-    out.sort()
-    cands = [(bg, bn) for _, bg, bn in out]
-    pick = _best_blocks(k, n, gs, bits, n_weights=n_weights)
-    if pick is not None and pick in cands:  # heuristic pick measured first
-        cands.remove(pick)
-        cands.insert(0, pick)
-    return cands
+    ordered by the heuristic's preference (its pick first) — the same
+    enumeration the offline heuristic ranks (matmul._ranked_blocks)."""
+    from .matmul import _ranked_blocks
+    return _ranked_blocks(k, n, gs, bits, n_weights=n_weights)
 
 
 # ---------------------------------------------------------------------------

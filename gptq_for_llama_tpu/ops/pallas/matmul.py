@@ -124,17 +124,19 @@ def _tile_plan(k: int, n: int, groupsize: int, bits: int):
     return None
 
 
-def _best_blocks(k: int, n: int, groupsize: int, bits: int,
-                 n_weights: int = 1):
-    """(groups_per_tile, bn) minimizing |per-step weight traffic - _TARGET_TILE|.
+def _ranked_blocks(k: int, n: int, groupsize: int, bits: int,
+                   n_weights: int = 1):
+    """All Mosaic-valid (groups_per_tile, bn) tilings for this shape, ordered
+    by |per-step weight traffic - _TARGET_TILE| (heuristic best first).
 
     n_weights: packed streams fetched per grid step (2 for the fused gate/up
     MLP kernel). Mosaic constraint: the (gpt, bn) scale block's sublane dim
     must be a multiple of 8 (or the full G, handled by the _tile_plan full-K
-    fallback).
-    """
+    fallback). Single source of truth for both the offline heuristic
+    (_best_blocks) and the measured autotuner's candidate set
+    (autotune.candidates)."""
     g = k // groupsize
-    best = None
+    out = []
     for bg in (8, 16, 32):
         if g % bg:
             continue
@@ -145,12 +147,16 @@ def _best_blocks(k: int, n: int, groupsize: int, bits: int,
             tile = rows * bn * 4 * n_weights
             if tile > _QW_TILE_BYTES:
                 continue
-            score = abs(tile - _TARGET_TILE)
-            if best is None or score < best[0]:
-                best = (score, bg, bn)
-    if best is None:
-        return None
-    return best[1], best[2]
+            out.append((abs(tile - _TARGET_TILE), bg, bn))
+    out.sort()
+    return [(bg, bn) for _, bg, bn in out]
+
+
+def _best_blocks(k: int, n: int, groupsize: int, bits: int,
+                 n_weights: int = 1):
+    """The heuristic (groups_per_tile, bn) pick: head of _ranked_blocks."""
+    ranked = _ranked_blocks(k, n, groupsize, bits, n_weights)
+    return ranked[0] if ranked else None
 
 
 def supports(lin: PackedLinear) -> bool:

@@ -121,7 +121,7 @@ def shard_packed_linear(lin: PackedLinear, mesh: Mesh, mode: str,
         raise ValueError(mode)
     return PackedLinear(qweight, qzeros, scales, zeros, g_idx, perm, bias,
                         lin.bits, lin.groupsize, lin.in_features,
-                        lin.out_features, lin.layout)
+                        lin.out_features, lin.layout, lin.scales_wire)
 
 
 def _shard_dense_linear(lin: dict, mesh: Mesh, mode: str, axis: str = "tp") -> dict:

@@ -120,24 +120,21 @@ def _lin_specs(lin, mode: str, axis: str, lead: int):
     leading (stacked-layer) dims are replicated."""
     L = (None,) * lead
     if isinstance(lin, PackedLinear):
-        # wire-precision scales ride along replicated (never read by compute,
-        # kept only so saving from a TP-loaded model stays byte-exact)
-        sw_spec = None if lin.scales_wire is None else P()
+        # (wire-precision scales live in pytree aux on the host — they ride
+        # along untouched and need no spec)
         if mode == "col":
             spec2 = P(*L, None, axis)
             return dataclasses.replace(
                 lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
                 g_idx=P(*L, None),
                 perm=None if lin.perm is None else P(*L, None),
-                bias=None if lin.bias is None else P(*L, axis),
-                scales_wire=sw_spec)
+                bias=None if lin.bias is None else P(*L, axis))
         spec2 = P(*L, axis, None)
         return dataclasses.replace(
             lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
             g_idx=P(*L, None),
             perm=None if lin.perm is None else P(*L, axis),
-            bias=None if lin.bias is None else P(*L, None),
-            scales_wire=sw_spec)
+            bias=None if lin.bias is None else P(*L, None))
     # dense dict
     out = {}
     for key in lin:

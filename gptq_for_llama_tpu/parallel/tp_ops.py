@@ -47,8 +47,7 @@ def _lin_specs(lin: PackedLinear, mode: str, axis: str):
         lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
         g_idx=g_spec,
         perm=None if lin.perm is None else P(None),
-        bias=None if lin.bias is None else b_spec,
-        scales_wire=None if lin.scales_wire is None else P())
+        bias=None if lin.bias is None else b_spec)
 
 
 def tp_quant_matmul(x, lin: PackedLinear, mesh: Mesh, mode: str,

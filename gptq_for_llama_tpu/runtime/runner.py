@@ -31,22 +31,11 @@ from ..models.common import decode_mask
 
 
 def collect_packed_linears(params) -> list:
-    """Every PackedLinear leaf in a params tree (for warmup autotuning)."""
+    """Every PackedLinear node in a params tree (for warmup autotuning)."""
     from ..ops.linear import PackedLinear
-    out = []
-
-    def walk(t):
-        if isinstance(t, PackedLinear):
-            out.append(t)
-        elif isinstance(t, dict):
-            for v in t.values():
-                walk(v)
-        elif isinstance(t, (list, tuple)):
-            for v in t:
-                walk(v)
-
-    walk(params)
-    return out
+    nodes = jax.tree_util.tree_flatten(
+        params, is_leaf=lambda x: isinstance(x, PackedLinear))[0]
+    return [n for n in nodes if isinstance(n, PackedLinear)]
 
 
 def stack_layers(layers: list):

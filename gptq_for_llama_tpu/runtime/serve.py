@@ -469,7 +469,7 @@ class ServingEngine:
         return self._chunk_decode_fn
 
     def _pick_pending(self, state):
-        """Next pending chunk: (i, slot, ids, slotarg, off0, last_idx)."""
+        """Next pending chunk: (i, slot, ids, off0, last_idx)."""
         for i, slot in enumerate(self.slots):
             if slot.pending is None:
                 continue
@@ -477,8 +477,7 @@ class ServingEngine:
             ids = jnp.asarray(slot.pending[slot.ppos:slot.ppos + c][None])
             off0 = jnp.int32(slot.ppos)
             last_idx = jnp.int32(max(0, min(slot.plen - 1 - slot.ppos, c - 1)))
-            slotarg = state["tables"][i] if self.paged else jnp.int32(i)
-            return i, slot, ids, slotarg, off0, last_idx
+            return i, slot, ids, off0, last_idx
         return None
 
     def _finish_chunk(self, state, i, slot, last):
@@ -503,7 +502,11 @@ class ServingEngine:
         picked = self._pick_pending(state)
         if picked is None:
             return False
-        i, slot, ids, slotarg, off0, last_idx = picked
+        i, slot, ids, off0, last_idx = picked
+        # the unfused program takes the slot's table ROW in paged mode, the
+        # slot index in dense mode; the fused program takes the slot index in
+        # both (its paged branch reads the table row in-program)
+        slotarg = state["tables"][i] if self.paged else jnp.int32(i)
         fn = self._get_chunk_prefill()
         last, state["k"], state["v"] = fn(
             self._sp, ids, state["k"], state["v"], slotarg, off0, last_idx)
@@ -655,7 +658,7 @@ class ServingEngine:
                 # chunk + decode in ONE program (one dispatch); the fused
                 # path takes the slot INDEX in both modes (the paged branch
                 # reads the slot's table row in-program)
-                i, slot, ids, slotarg, off0, last_idx = fused_chunk
+                i, slot, ids, off0, last_idx = fused_chunk
                 logits, clast, state["k"], state["v"], state["off"] = \
                     self._get_chunk_decode()(
                         self._sp, jnp.asarray(state["toks"][:, None]),

@@ -141,3 +141,15 @@ def test_wire_roundtrip_byte_identical_bf16(actorder):
     np.testing.assert_array_equal(wire["g_idx"], g_idx)
     assert wire["scales"].dtype == np.float16
     assert wire["scales"].tobytes() == scales.tobytes()
+
+    # scales_wire lives on the HOST in pytree aux: it must not be a tree
+    # leaf (no HBM, not part of any jitted step signature) and must survive
+    # tree_map / device_put round trips byte-intact
+    import jax as _jax
+    assert not any(leaf is lin.scales_wire
+                   for leaf in _jax.tree_util.tree_leaves(lin))
+    assert isinstance(lin.scales_wire.arr, np.ndarray)
+    mapped = _jax.tree_util.tree_map(lambda x: x, lin)
+    assert mapped.scales_wire is lin.scales_wire
+    moved = _jax.device_put(lin)
+    assert moved.to_wire()["scales"].tobytes() == scales.tobytes()
