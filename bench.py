@@ -322,9 +322,12 @@ def main():
         # measured kernel autotune at the decode row bucket (persists in the
         # cache dir; later runs and the runner's own lookups hit it)
         from gptq_for_llama_tpu.ops.pallas import autotune as at
-        from gptq_for_llama_tpu.runtime.runner import collect_packed_linears
+        from gptq_for_llama_tpu.runtime.runner import (collect_mlp_pairs,
+                                                       collect_packed_linears)
         at.ensure_linears(collect_packed_linears(params), 8,
                           log=lambda m: stage(m))
+        at.ensure_mlp_pairs(collect_mlp_pairs(params), 8,
+                            log=lambda m: stage(m))
         stage("kernel autotune ensured")
 
     max_len = 256 if not tiny else 64

@@ -190,6 +190,14 @@ def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
         return lambda xx: pk._qmm_2d(xx, lin.qweight, lin.scales, zs,
                                      bits, gs, block_n=bn, block_groups=bg)
 
+    best = _race(make, cands, x, kind, kp, n, mb, iters, reps, log)
+    if best is not None:
+        store(kind, kp, n, bits, gs, m, best)
+    return best
+
+
+def _race(make, cands, x, kind, kp, n, mb, iters, reps, log):
+    """Measure every candidate tiling, return the fastest (or None)."""
     best, best_t = None, float("inf")
     for bg, bn in cands:
         try:
@@ -201,9 +209,58 @@ def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
                 f"bg={bg} bn={bn}: {t * 1e6:.1f} us")
         if t < best_t:
             best, best_t = (bg, bn), t
-    if best is not None:
-        store(kind, kp, n, bits, gs, m, best)
     return best
+
+
+def tune_mlp(gate, up, m: int, iters: int = 20, reps: int = 2,
+             log=None) -> tuple | None:
+    """Measure the fused gate/up MLP kernel's candidates (two packed streams
+    per grid step) for one layer pair at row-bucket m; persist kind='mlp'."""
+    import jax.numpy as jnp
+    from . import mlp as mk
+
+    kp, n = gate.k_padded, gate.out_features
+    bits, gs = gate.bits, gate.groupsize
+    hit = lookup("mlp", kp, n, bits, gs, m)
+    if hit is not None:
+        return hit
+    cands = candidates(kp, n, gs, bits, n_weights=2)
+    if not cands:
+        return None
+    mb = max(8, m_bucket(m))
+    f32 = jnp.float32
+    zsg = (gate.zeros.astype(f32) * gate.scales.astype(f32)
+           ).astype(gate.scales.dtype)
+    zsu = (up.zeros.astype(f32) * up.scales.astype(f32)
+           ).astype(up.scales.dtype)
+    x = jnp.ones((mb, kp), jnp.bfloat16)
+
+    def make(bg, bn):
+        return lambda xx: mk._fused_2d(
+            xx, gate.qweight, gate.scales, zsg, up.qweight, up.scales, zsu,
+            bits, gs, block_n=bn, block_groups=bg)
+
+    best = _race(make, cands, x, "mlp", kp, n, mb, iters, reps, log)
+    if best is not None:
+        store("mlp", kp, n, bits, gs, m, best)
+    return best
+
+
+def ensure_mlp_pairs(pairs, m: int, log=None):
+    """Tune every distinct fused gate/up shape among (gate, up) pairs."""
+    import jax
+    if _mode() in ("0", "ro") or jax.default_backend() != "tpu":
+        return
+    from .mlp import supports_fused
+    seen = set()
+    for gate, up in pairs:
+        if not supports_fused(gate, up):
+            continue
+        sig = (gate.k_padded, gate.out_features, gate.bits, gate.groupsize)
+        if sig in seen:
+            continue
+        seen.add(sig)
+        tune_mlp(gate, up, m, log=log)
 
 
 def ensure_linears(linears, m: int, kind: str = "fwd", log=None):

@@ -60,9 +60,11 @@ def _fused_kernel(x_ref, qg_ref, sg_ref, zg_ref, qu_ref, su_ref, zu_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "block_n",
+                                             "block_groups"))
 def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
-              out_dtype=jnp.bfloat16, interpret: bool = False):
+              out_dtype=jnp.bfloat16, interpret: bool = False,
+              block_n: int | None = None, block_groups: int | None = None):
     m, k = x.shape
     n = qg.shape[1]
     bk, gpt = _tile_plan(k, n, groupsize, bits)
@@ -72,6 +74,12 @@ def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
         if tuned is not None:
             gpt, bn = tuned
             bk = gpt * groupsize
+    # explicit overrides (measured autotuner / benchmarks) win
+    if block_groups is not None and k % (block_groups * groupsize) == 0:
+        gpt = block_groups
+        bk = block_groups * groupsize
+    if block_n is not None:
+        bn = block_n
     bm = _pick_block(m, 256, 8)
     bn = _pick_block(n, bn or 256, 128)
     grid = (m // bm, n // bn, k // bk)
@@ -134,8 +142,13 @@ def fused_mlp_pallas(x, gate: PackedLinear, up: PackedLinear,
     f32 = jnp.float32
     zsg = (gate.zeros.astype(f32) * gate.scales.astype(f32)).astype(gate.scales.dtype)
     zsu = (up.zeros.astype(f32) * up.scales.astype(f32)).astype(up.scales.dtype)
+    # measured-autotune cache (trace-time lookup only, like quant_matmul)
+    from . import autotune
+    tuned = autotune.lookup("mlp", kp, gate.out_features, gate.bits,
+                            gate.groupsize, mp)
+    bg, bn = tuned if tuned is not None else (None, None)
     y = _fused_2d(x2, gate.qweight, gate.scales, zsg,
                   up.qweight, up.scales, zsu,
                   gate.bits, gate.groupsize, out_dtype=x.dtype,
-                  interpret=interpret)
+                  interpret=interpret, block_n=bn, block_groups=bg)
     return y[:m].reshape(*lead, gate.out_features)

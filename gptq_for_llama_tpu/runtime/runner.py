@@ -38,6 +38,21 @@ def collect_packed_linears(params) -> list:
     return [n for n in nodes if isinstance(n, PackedLinear)]
 
 
+def collect_mlp_pairs(params) -> list:
+    """Every packed (gate_proj, up_proj) pair — the fused-MLP kernel's tuning
+    unit (dispatched in ops/quant_matmul.fused_gate_up)."""
+    from ..ops.linear import PackedLinear
+    pairs = []
+    for lp in params.get("layers", []):
+        mlp = lp.get("mlp") if isinstance(lp, dict) else None
+        if not isinstance(mlp, dict):
+            continue
+        g, u = mlp.get("gate_proj"), mlp.get("up_proj")
+        if isinstance(g, PackedLinear) and isinstance(u, PackedLinear):
+            pairs.append((g, u))
+    return pairs
+
+
 def stack_layers(layers: list):
     """Stack per-layer pytrees leaf-wise for lax.scan; None on mismatch."""
     treedefs = {jax.tree_util.tree_structure(lp) for lp in layers}
@@ -329,6 +344,8 @@ class ModelRunner:
             from ..ops.pallas import autotune as at
             at.ensure_linears(collect_packed_linears(self.params),
                               max(8, self.batch))
+            at.ensure_mlp_pairs(collect_mlp_pairs(self.params),
+                                max(8, self.batch))
         cache = self.init_cache()
         for s in prefill_buckets:
             ids = jnp.zeros((self.batch, s), jnp.int32)

@@ -105,3 +105,41 @@ def test_disabled_mode(tune_cache, monkeypatch):
     monkeypatch.setenv("GPTQ_TPU_AUTOTUNE", "0")
     at.store("fwd", 64, 128, 4, 32, 8, (8, 128))
     assert at.lookup("fwd", 64, 128, 4, 32, 8) is None
+
+
+def test_tune_mlp_selects_fake_fastest_and_persists(tune_cache, monkeypatch):
+    gate, up = _lin(seed=2), _lin(seed=3)
+    cands = at.candidates(gate.k_padded, gate.out_features, gate.groupsize,
+                          gate.bits, n_weights=2)
+    want = cands[-1]
+
+    def fake_measure(fn, x, iters=20, reps=2):
+        fake_measure.calls += 1
+        return 1e-3 if fake_measure.calls == len(cands) else 2e-3
+    fake_measure.calls = 0
+    monkeypatch.setattr(at, "measure", fake_measure)
+
+    got = at.tune_mlp(gate, up, 8)
+    assert got == want
+    calls = fake_measure.calls
+    assert at.tune_mlp(gate, up, 8) == want and fake_measure.calls == calls
+
+
+def test_fused_mlp_dispatch_uses_tuned_blocks(tune_cache):
+    """fused_mlp_pallas consults the 'mlp' cache at trace time; a tuned entry
+    changes the tiling without changing the result."""
+    from gptq_for_llama_tpu.ops.pallas import mlp as pmlp
+    gate, up = _lin(seed=4), _lin(seed=5)
+    cands = at.candidates(gate.k_padded, gate.out_features, gate.groupsize,
+                          gate.bits, n_weights=2)
+    at.store("mlp", gate.k_padded, gate.out_features, gate.bits,
+             gate.groupsize, 8, cands[-1])
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.standard_normal((4, gate.in_features))
+                    .astype(np.float32))
+    g = np.asarray(quant_matmul_xla(x, gate, dtype=jnp.float32))
+    u = np.asarray(quant_matmul_xla(x, up, dtype=jnp.float32))
+    want = g / (1.0 + np.exp(-g)) * u
+    got = np.asarray(pmlp.fused_mlp_pallas(x, gate, up, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
