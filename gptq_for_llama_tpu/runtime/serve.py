@@ -133,6 +133,13 @@ class ServingEngine:
         if unroll_layers is None:
             unroll_layers = jax.default_backend() == "tpu"
         self.unrolled = bool(unroll_layers)
+        if self._tp is None:
+            # measured kernel autotune at this engine's decode row bucket
+            # before any step traces (no-op off-TPU / on cache hits)
+            from ..ops.pallas import autotune as at
+            from .runner import collect_mlp_pairs, collect_packed_linears
+            at.ensure_linears(collect_packed_linears(params), max(8, self.b))
+            at.ensure_mlp_pairs(collect_mlp_pairs(params), max(8, self.b))
         stacked = None if self.unrolled else stack_layers(params["layers"])
         self._sp = {
             "statics": {k: v for k, v in params.items() if k != "layers"},
