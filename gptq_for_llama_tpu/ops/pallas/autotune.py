@@ -172,7 +172,7 @@ def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
     import jax.numpy as jnp
     from . import matmul as pk
 
-    assert kind == "fwd", "only the forward dequant-GEMM is tunable"
+    assert kind in ("fwd", "bwd"), kind
     kp, n = lin.k_padded, lin.out_features
     bits, gs = lin.bits, lin.groupsize
     hit = lookup(kind, kp, n, bits, gs, m)
@@ -184,11 +184,18 @@ def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
     mb = max(8, m_bucket(m))
     zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32)
           ).astype(lin.scales.dtype)
-    x = jnp.ones((mb, kp), jnp.bfloat16)
+    x = jnp.ones((mb, kp if kind == "fwd" else n), jnp.bfloat16)
 
-    def make(bg, bn):
-        return lambda xx: pk._qmm_2d(xx, lin.qweight, lin.scales, zs,
-                                     bits, gs, block_n=bn, block_groups=bg)
+    if kind == "fwd":
+        def make(bg, bn):
+            return lambda xx: pk._qmm_2d(xx, lin.qweight, lin.scales, zs,
+                                         bits, gs, block_n=bn,
+                                         block_groups=bg)
+    else:  # grad-input: cotangent (m, N) -> dx (m, K)
+        def make(bg, bn):
+            return lambda gg: pk._qmm_t_2d(gg, lin.qweight, lin.scales, zs,
+                                           bits, gs, block_n=bn,
+                                           block_groups=bg)
 
     best = _race(make, cands, x, kind, kp, n, mb, iters, reps, log)
     if best is not None:

@@ -279,9 +279,11 @@ def _qmm_t_kernel(g_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, bits: int,
 
 
 @functools.partial(jax.jit, static_argnames=("bits", "groupsize", "out_dtype",
-                                             "interpret"))
+                                             "interpret", "block_n",
+                                             "block_groups"))
 def _qmm_t_2d(g, qweight, scales, zeros_scaled, bits: int, groupsize: int,
-              out_dtype=jnp.bfloat16, interpret: bool = False):
+              out_dtype=jnp.bfloat16, interpret: bool = False,
+              block_n: int | None = None, block_groups: int | None = None):
     """dx = g @ dequant(qweight)^T: g (M, N) -> (M, K). M must be 8-aligned."""
     m, n = g.shape
     k = qweight.shape[0] * 32 // bits
@@ -296,6 +298,12 @@ def _qmm_t_2d(g, qweight, scales, zeros_scaled, bits: int, groupsize: int,
         if tuned is not None:
             gpt, bn = tuned
             bk = gpt * groupsize
+    # explicit overrides (measured autotuner / benchmarks) win
+    if block_groups is not None and k % (block_groups * groupsize) == 0:
+        gpt = block_groups
+        bk = block_groups * groupsize
+    if block_n is not None:
+        bn = block_n
     bm = _pick_block(m, 256, 8)
     bn = _pick_block(n, bn or 256, 128)
 
@@ -346,9 +354,13 @@ def quant_matmul_t_pallas(g, lin: PackedLinear, interpret: bool = False):
     if mp != m:
         g2 = jnp.pad(g2, ((0, mp - m), (0, 0)))
     zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32))
+    from . import autotune
+    tuned = autotune.lookup("bwd", lin.k_padded, n, lin.bits,
+                            lin.groupsize, mp)
+    bg, bn = tuned if tuned is not None else (None, None)
     dx = _qmm_t_2d(g2, lin.qweight, lin.scales, zs.astype(lin.scales.dtype),
                    lin.bits, lin.groupsize, out_dtype=g.dtype,
-                   interpret=interpret)
+                   interpret=interpret, block_n=bn, block_groups=bg)
     dx = dx[:m, :k]  # drop M pad + K pad (device order)
     if lin.perm is not None:
         dx = jnp.take(dx, jnp.argsort(lin.perm), axis=-1)

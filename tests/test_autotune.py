@@ -107,6 +107,43 @@ def test_disabled_mode(tune_cache, monkeypatch):
     assert at.lookup("fwd", 64, 128, 4, 32, 8) is None
 
 
+def test_transposed_dispatch_uses_tuned_blocks(tune_cache):
+    """quant_matmul_t_pallas consults the 'bwd' cache at trace time; a tuned
+    entry changes the tiling without changing the grad-input."""
+    lin = _lin(seed=7)
+    cands = at.candidates(lin.k_padded, lin.out_features, lin.groupsize,
+                          lin.bits)
+    at.store("bwd", lin.k_padded, lin.out_features, lin.bits, lin.groupsize,
+             8, cands[-1])
+    rng = np.random.RandomState(8)
+    g = jnp.asarray(rng.standard_normal((4, lin.out_features))
+                    .astype(np.float32))
+    w = np.asarray(lin.dequantize(jnp.float32))  # (K_sorted, N)
+    want = np.asarray(g) @ w.T
+    got = np.asarray(pmm.quant_matmul_t_pallas(g, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+
+
+def test_tune_qmm_bwd_kind(tune_cache, monkeypatch):
+    lin = _lin(seed=9)
+    cands = at.candidates(lin.k_padded, lin.out_features, lin.groupsize,
+                          lin.bits)
+
+    def fake_measure(fn, x, iters=20, reps=2):
+        assert x.shape == (8, lin.out_features)  # cotangent rows, N cols
+        fake_measure.calls += 1
+        return 1e-3 if fake_measure.calls == len(cands) else 2e-3
+    fake_measure.calls = 0
+    monkeypatch.setattr(at, "measure", fake_measure)
+    assert at.tune_qmm(lin, 8, kind="bwd") == cands[-1]
+    assert at.lookup("bwd", lin.k_padded, lin.out_features, lin.bits,
+                     lin.groupsize, 8) == cands[-1]
+    # fwd cache is independent
+    assert at.lookup("fwd", lin.k_padded, lin.out_features, lin.bits,
+                     lin.groupsize, 8) is None
+
+
 def test_tune_mlp_selects_fake_fastest_and_persists(tune_cache, monkeypatch):
     gate, up = _lin(seed=2), _lin(seed=3)
     cands = at.candidates(gate.k_padded, gate.out_features, gate.groupsize,
