@@ -290,10 +290,14 @@ def quant_matmul_xla(x, lin: PackedLinear, dtype=jnp.bfloat16):
 
 
 def linear_apply(lin, x, dtype=None):
-    """Apply a linear that is either dense ({'kernel': (K,N), 'bias':...}) or packed.
+    """Apply a linear: dense ({'kernel': (K,N), 'bias':...}), packed, or
+    LoRA-adapted (ops/lora.LoraLinear wrapping either).
 
     Compute dtype follows the activation dtype unless overridden."""
     dtype = dtype or x.dtype
+    from . import lora  # late import: lora depends on this module
+    if isinstance(lin, lora.LoraLinear):
+        return lora.lora_apply(lin, x, dtype)
     if isinstance(lin, PackedLinear):
         from . import quant_matmul  # late import: dispatches XLA vs Pallas
         return quant_matmul.quant_matmul(x, lin, dtype=dtype)
