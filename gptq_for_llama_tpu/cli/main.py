@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.8)
     p.add_argument("--tp", type=int, default=None,
                    help="tensor-parallel degree (default: all devices)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel devices for the quantize phase: the "
+                        "calibration batch is sharded over dp and the "
+                        "Hessians all-reduced by XLA (engine/quantize "
+                        "mesh mode)")
     p.add_argument("--distributed", action="store_true",
                    help="multi-host: jax.distributed.initialize() before "
                         "backend use (auto-detect on TPU pods, or "
@@ -135,10 +140,15 @@ def main(argv=None):
                                seed=args.seed, seqlen=seqlen,
                                model=args.model if args.dataset != "synthetic" else cfg)
         tq = time.time()
+        qmesh = None
+        if args.dp and args.dp > 1:
+            from ..parallel.sharding import make_mesh
+            qmesh = make_mesh(tp=1, dp=args.dp)
+            print(f"dp-calibration over mesh {dict(qmesh.shape)}")
         with timer.phase("quantize"):
             params, quantizers, _ = quantize_model(
                 cfg.arch, cfg, params, train, spec,
-                resume_dir=args.resume_dir)
+                resume_dir=args.resume_dir, mesh=qmesh)
         print(f"quantized in {time.time() - tq:.1f}s")
 
     if args.quant_directory and quantizers:

@@ -125,6 +125,24 @@ def test_cli_end_to_end(tmp_path, capsys):
     assert res["tokens"] == 8 and np.isfinite(res["ppl"])
 
 
+def test_cli_dp_calibration_matches_single(tmp_path, capsys):
+    """--dp shards the calibration batch over the mesh; the packed result
+    must match the single-device quantization bit for bit."""
+    from gptq_for_llama_tpu.cli.main import main
+    from safetensors.numpy import load_file
+    d, _ = hf_tiny.tiny_llama_dir(tmp_path / "m")
+    out1, out2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    args = [str(d), "synthetic", "--wbits", "4", "--groupsize", "16",
+            "--nsamples", "4", "--chunk", "4", "--seqlen", "32"]
+    main(args + ["--save", out1])
+    main(args + ["--save", out2, "--dp", "2"])
+    a = load_file(os.path.join(out1, "model.safetensors"))
+    b = load_file(os.path.join(out2, "model.safetensors"))
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
 def test_quantized_lm_head_roundtrip(tmp_path):
     """Opt-in lm_head quantization (beyond the reference, llama.py:270):
     GPTQ'd head packs, saves, reloads, and the packed model's logits equal the
