@@ -125,7 +125,6 @@ class PackedLinear:
         perm = None
         if np.any(np.diff(g_idx) < 0):  # act-order checkpoint: group-sort rows
             perm = np.argsort(g_idx, kind="stable").astype(np.int32)
-            qweight = packing.gather_rows_packed(qweight, perm, bits)
 
         zeros = packing.unpack_cols(qzeros, bits, n=n).astype(np.float32) + 1.0
         # wire scales are fp16 by format; keep the exact buffer for to_wire
@@ -155,8 +154,17 @@ class PackedLinear:
                     [scales, np.ones((gp, n), scales.dtype)], axis=0)
                 zeros = np.concatenate(
                     [zeros, np.zeros((gp, n), np.float32)], axis=0)
-            qweight = packing.to_tpu_layout(np.asarray(qweight), bits, groupsize)
+            # act-order sort and device interleave compose into ONE gather
+            # pass (pad rows: identity — they are zero words either way)
+            pre = None
+            if perm is not None:
+                pre = perm if kp == k else np.concatenate(
+                    [perm, np.arange(k, kp, dtype=np.int32)])
+            qweight = packing.to_tpu_layout(np.asarray(qweight), bits,
+                                            groupsize, pre_perm=pre)
             layout = "tpu"
+        elif perm is not None:
+            qweight = packing.gather_rows_packed(qweight, perm, bits)
 
         return cls(
             qweight=jnp.asarray(qweight),

@@ -245,13 +245,23 @@ def _tiled_perm(perm: np.ndarray, k: int, groupsize: int) -> np.ndarray:
             + perm[None, :]).reshape(-1).astype(np.int32)
 
 
-def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
-    """Wire-packed (K*bits/32, N) -> TPU-layout packed, same shape."""
+def to_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int,
+                  pre_perm: np.ndarray | None = None) -> np.ndarray:
+    """Wire-packed (K*bits/32, N) -> TPU-layout packed, same shape.
+
+    pre_perm: optional code-row permutation applied BEFORE the interleave
+    (out = interleave(qweight[pre_perm])) — lets the act-order group sort
+    ride the same single gather pass instead of paying two."""
     k = qweight.shape[0] * 32 // bits
     if bits == 3:
-        return _codes_to_tpu3(unpack_rows(qweight, bits, k=k), groupsize)
-    perm = _tpu_perm(groupsize, bits)
-    return gather_rows_packed(qweight, _tiled_perm(perm, k, groupsize), bits)
+        codes = unpack_rows(qweight, bits, k=k)
+        if pre_perm is not None:
+            codes = codes[pre_perm]
+        return _codes_to_tpu3(codes, groupsize)
+    perm = _tiled_perm(_tpu_perm(groupsize, bits), k, groupsize)
+    if pre_perm is not None:
+        perm = np.asarray(pre_perm, np.int32)[perm]
+    return gather_rows_packed(qweight, perm, bits)
 
 
 def from_tpu_layout(qweight: np.ndarray, bits: int, groupsize: int) -> np.ndarray:
