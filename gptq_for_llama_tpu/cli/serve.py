@@ -69,11 +69,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend use (see parallel/distributed.py)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress lines on stderr")
+    p.add_argument("--fuse-attn", action="store_true", dest="fuse_attn",
+                   help="fuse q/k/v into one packed projection at load "
+                        "(the reference's make_quant_attn; incompatible "
+                        "with --tp)")
     return p
 
 
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.fuse_attn and args.tp is not None:
+        parser.error("--fuse-attn is incompatible with --tp: shard_map TP "
+                     "shards q/k/v separately (TP_RULES)")
     if args.distributed:
         import os
         from ..parallel.distributed import initialize
@@ -126,7 +134,7 @@ def main(argv=None):
         num_blocks=args.num_blocks, prefill_chunk=args.prefill_chunk,
         decode_span=args.span,
         prefill_buckets=tuple(int(b) for b in args.buckets.split(",")),
-        mesh=mesh, shard_map_tp=mesh is not None)
+        mesh=mesh, shard_map_tp=mesh is not None, fuse_qkv=args.fuse_attn)
     for uid, prompt in enumerate(prompts):
         engine.submit(GenRequest(uid=uid, prompt=prompt,
                                  max_new_tokens=args.max_new_tokens,

@@ -85,7 +85,8 @@ class ServingEngine:
                  prefill_chunk: Optional[int] = None,
                  unroll_layers: Optional[bool] = None,
                  decode_span: int = 1, fused_chunk_decode: bool = True,
-                 mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp"):
+                 mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
+                 fuse_qkv: bool = False):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
@@ -118,6 +119,12 @@ class ServingEngine:
         # Pallas kernels execute on each device's local TP shard. TP-only
         # (slots are not dp-sharded); sampling all-gathers the vocab-sharded
         # logits in-program.
+        if fuse_qkv and hasattr(self.arch, "fuse_attention"):
+            # load-time q/k/v concat (make_quant_attn equivalent): one packed
+            # weight stream + one kernel launch replace three per layer
+            assert not (mesh is not None and shard_map_tp), \
+                "fuse_qkv: TP shards q/k/v separately (TP_RULES); unfused"
+            params = self.arch.fuse_attention(params)
         self._tp = None
         if mesh is not None and shard_map_tp:
             from ..parallel import tp_model

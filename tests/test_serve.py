@@ -233,3 +233,37 @@ def test_chunked_prefill_concurrent_decode_write_mask():
         for uid in base:
             np.testing.assert_array_equal(got[uid], base[uid],
                                           err_msg=f"{kw}, request {uid}")
+
+
+def test_fuse_qkv_serving_matches_unfused():
+    """ServingEngine(fuse_qkv=True) on a PACKED model (fusion is a no-op on
+    dense layers) produces identical greedy outputs."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+    cfg = bench.build_cfg(tiny=True)
+    params = bench.random_packed_llama(cfg, jnp.float32)
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([5, 6], np.int32),
+               np.array([9, 8, 7], np.int32)]
+
+    def run(**kw):
+        eng = ServingEngine("llama", cfg, params, batch_slots=2,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(8,), **kw)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                  temperature=0.0))
+        return eng.run()
+
+    base = run()
+    got = run(fuse_qkv=True)
+    # fusion must actually have happened (packed model) and be output-exact
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+    assert isinstance(params["layers"][0]["self_attn"]["q_proj"],
+                      PackedLinear)  # caller tree untouched
+    for uid in base:
+        np.testing.assert_array_equal(got[uid], base[uid],
+                                      err_msg=f"request {uid}")
