@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     # eval / io
     p.add_argument("--eval", action="store_true")
     p.add_argument("--new-eval", action="store_true")
-    p.add_argument("--save", type=str, default="",
-                   help="directory to save the packed checkpoint")
+    p.add_argument("--save", "--save_safetensors", dest="save", type=str,
+                   default="",
+                   help="directory to save the packed checkpoint "
+                        "(safetensors; --save_safetensors is the "
+                        "reference-compatible alias)")
     p.add_argument("--load", type=str, default="",
                    help="packed checkpoint directory to load")
     p.add_argument("--quant-directory", type=str, default=None,
