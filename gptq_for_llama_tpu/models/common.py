@@ -168,6 +168,15 @@ def apply_kv_cache(past_kv, k, v):
         _, kp, vp, tables, offset = past_kv[:5]
         write_mask = past_kv[5] if len(past_kv) > 5 else None
         from ..runtime.paged import paged_update_layer
+        if k.shape[1] == 1:
+            # pure decode step: hand sdpa the POOL itself — the pool-native
+            # kernel DMAs blocks through the table; no gathered logical view
+            # is materialized (sdpa's fallback gathers on demand)
+            kp, vp, _, _ = paged_update_layer(kp, vp, k, v, tables, offset,
+                                              write_mask=write_mask,
+                                              gather=False)
+            return (("pool", kp, tables), ("pool", vp, tables),
+                    (kp, vp), offset)
         kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k, v, tables, offset,
                                                   write_mask=write_mask)
         return k_eff, v_eff, (kp, vp), offset
@@ -204,6 +213,29 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     prefills to the VMEM-resident flash kernel on TPU.
     """
     b, sq, h, d = q.shape
+    if isinstance(k, tuple) and k[0] == "pool":
+        # paged decode: k/v are ("pool", pool (NB, BS, Hkv, D), tables) —
+        # pool-native kernel on TPU, gather-then-dense fallback elsewhere
+        _, kp, tables = k
+        _, vp, _ = v
+        import os
+        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
+        use = forced == "pallas" or (forced != "xla"
+                                     and jax.default_backend() == "tpu")
+        from ..ops.pallas.attention import (paged_decode_attention,
+                                            supports_paged_decode)
+        sc = scale if scale is not None else 1.0 / (d ** 0.5)
+        if (use and sq == 1
+                and supports_paged_decode(kp.shape[1], h, kp.shape[2], d)):
+            return paged_decode_attention(
+                q, kp, vp, tables, decode_offset, sc,
+                interpret=forced == "pallas"
+                and jax.default_backend() != "tpu")
+        mb, bs = tables.shape[1], kp.shape[1]
+        kd = jnp.take(kp, tables, axis=0).reshape(b, mb * bs, kp.shape[2], d)
+        vd = jnp.take(vp, tables, axis=0).reshape(b, mb * bs, vp.shape[2], d)
+        return sdpa(q, kd, vd, decode_mask(sq, mb * bs, decode_offset),
+                    scale, decode_offset=decode_offset)
     if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
         # token-fused serving step (see apply_kv_cache "grouped"): split the
         # flat token rows into the per-slot decode group and the one-slot

@@ -139,6 +139,78 @@ def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
         o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
+def supports_paged_decode(block_size: int, num_heads: int, num_kv_heads: int,
+                          head_dim: int) -> bool:
+    return (block_size % 8 == 0 and head_dim % 128 == 0
+            and _gqa_blocks(num_heads, num_kv_heads) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "interpret"))
+def paged_decode_attention(q, k_pool, v_pool, tables, offset, scale: float,
+                           interpret: bool = False):
+    """Decode attention DIRECTLY over the paged block pool.
+
+    q: (B, 1, H, D); pools: (NB, BS, Hkv, D); tables: (B, MB) int32 physical
+    block per logical block; offset: (B,) int32 current write position.
+    Query attends logical slots <= its offset.
+
+    The block index map routes each grid step through the slot's table row
+    (scalar-prefetched) so the pool blocks are DMA'd in place — no gathered
+    logical view is ever materialized (the XLA fallback pays pool-read +
+    view-write + view-read, ~3x the live bytes). Steps beyond the live
+    prefix clamp to the last live block and Pallas elides the repeat DMA, so
+    traffic is proportional to live context like the dense decode kernel.
+    """
+    b, _, h, d = q.shape
+    hkv = k_pool.shape[2]
+    bs = k_pool.shape[1]
+    mb = tables.shape[1]
+    ht, g = _gqa_blocks(h, hkv)
+    offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
+    tabs = jnp.asarray(tables, jnp.int32)
+
+    def kv_map(bi, hi, si, tab_ref, off_ref):
+        # clamp to the slot's last live logical block, then map through the
+        # table: dead steps revisit the same physical block (DMA elided)
+        sb = jnp.minimum(si, off_ref[bi] // bs)
+        return (tab_ref[bi, sb], 0, hi, 0)
+
+    htq = ht * g
+    grid = (b, hkv // ht, mb)
+    if g == 1:
+        kernel = functools.partial(_attn_kernel, scale=scale, seq_block=bs)
+    else:
+        kernel = functools.partial(_attn_kernel_gqa, scale=scale,
+                                   seq_block=bs, ht=ht, g=g)
+
+    def wrapped(tab_ref, off_ref, *rest):
+        return kernel(off_ref, *rest)
+
+    out = pl.pallas_call(
+        wrapped,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, htq, d),
+                             lambda bi, hi, si, tab, off: (bi, hi, 0)),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+            ],
+            out_specs=pl.BlockSpec((1, htq, d),
+                                   lambda bi, hi, si, tab, off: (bi, hi, 0)),
+            scratch_shapes=[pltpu.VMEM((htq, d), jnp.float32),
+                            pltpu.VMEM((1, htq), jnp.float32),
+                            pltpu.VMEM((1, htq), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(tabs, offs, q.reshape(b, h, d), k_pool, v_pool)
+    return out.reshape(b, 1, h, d)
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
 def decode_attention(q, k_cache, v_cache, offset, scale: float,
                      interpret: bool = False):

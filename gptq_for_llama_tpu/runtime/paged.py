@@ -107,7 +107,8 @@ def paged_gather(pool_layer, table):
     return blocks.reshape(mb * bs, h, d)
 
 
-def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None):
+def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None,
+                       gather=True):
     """One layer's paged-cache update + logical gather (the arch-layer hook).
 
     kp/vp: (NB, BS, Hkv, D) this layer's pool slice; k_new/v_new (B, s, H, D);
@@ -116,7 +117,9 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None):
     block-aligned offsets (serving prefills at 0). Writing past the sequence
     end inside a block is safe: those positions are masked until the real
     token overwrites them before first read. Returns (kp, vp, k_eff, v_eff)
-    where k_eff/v_eff are the gathered logical (B, MB*BS, H, D) views.
+    where k_eff/v_eff are the gathered logical (B, MB*BS, H, D) views, or
+    (None, None) with gather=False (pool-native attention reads the blocks
+    directly — ops/pallas/attention.paged_decode_attention).
     write_mask: optional (B,) bool — rows with False keep their existing pool
     contents (decode alongside mid-prefill slots must not clobber them).
     """
@@ -169,10 +172,12 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None):
 
         (kp, vp), _ = jax.lax.scan(write, (kp, vp), jnp.arange(b))
 
+    if not gather:
+        return kp, vp, None, None
     mb = tables.shape[1]
-    gather = jax.vmap(lambda t: jnp.take(kp, t, axis=0).reshape(mb * bs, h, d))
-    gather_v = jax.vmap(lambda t: jnp.take(vp, t, axis=0).reshape(mb * bs, h, d))
-    return kp, vp, gather(tables), gather_v(tables)
+    g_k = jax.vmap(lambda t: jnp.take(kp, t, axis=0).reshape(mb * bs, h, d))
+    g_v = jax.vmap(lambda t: jnp.take(vp, t, axis=0).reshape(mb * bs, h, d))
+    return kp, vp, g_k(tables), g_v(tables)
 
 
 def paged_decode_attention(q, k_pool_layer, v_pool_layer, tables, offsets,
