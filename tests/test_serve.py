@@ -267,3 +267,43 @@ def test_fuse_qkv_serving_matches_unfused():
     for uid in base:
         np.testing.assert_array_equal(got[uid], base[uid],
                                       err_msg=f"request {uid}")
+
+
+def test_serving_all_arches_match_runner():
+    """ServingEngine speaks all three arch layers (OPT learned positions,
+    NeoX partial rotary/parallel residual) — dense AND paged greedy outputs
+    match the single-sequence runner."""
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    cfgs = {
+        "opt": ModelConfig(arch="opt", vocab_size=128, hidden_size=128,
+                           intermediate_size=256, num_layers=2, num_heads=4,
+                           num_kv_heads=4, head_dim=32, max_seq_len=64,
+                           act="relu", pos_embedding="learned", norm_eps=1e-5,
+                           attn_bias=True, mlp_bias=True),
+        "neox": ModelConfig(arch="neox", vocab_size=128, hidden_size=128,
+                            intermediate_size=256, num_layers=2, num_heads=4,
+                            num_kv_heads=4, head_dim=32, max_seq_len=64,
+                            act="gelu", rotary_pct=0.25,
+                            parallel_residual=True, norm_eps=1e-5),
+    }
+    prompts = [np.array([1, 2, 3], np.int32), np.array([5, 6], np.int32),
+               np.array([9, 8, 7], np.int32)]
+    for name, cfg in cfgs.items():
+        arch = registry.get_arch(name)
+        params = arch.init_params(cfg, jax.random.PRNGKey(1),
+                                  dtype=jnp.float32)
+        runner = ModelRunner(name, cfg, params, batch_size=1, max_seq_len=32,
+                             dtype=jnp.float32)
+        for kw in (dict(), dict(paged=True, block_size=8)):
+            eng = ServingEngine(name, cfg, params, batch_slots=2,
+                                max_seq_len=32, dtype=jnp.float32,
+                                prefill_buckets=(8,), **kw)
+            for uid, p in enumerate(prompts):
+                eng.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                      temperature=0.0))
+            results = eng.run()
+            for uid, p in enumerate(prompts):
+                want = generate(runner, p, max_new_tokens=5, temperature=0.0)
+                np.testing.assert_array_equal(
+                    results[uid], want[0, len(p):],
+                    err_msg=f"{name} {kw} request {uid}")
