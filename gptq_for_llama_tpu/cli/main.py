@@ -93,10 +93,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep only the first N layers device-resident and "
                         "stream the rest from host memory (the reference's "
                         "CPU-offload --pre_layer, llama_inference_offload.py)")
+    p.add_argument("--kv-dtype", type=str, default=None, dest="kv_dtype",
+                   choices=["bf16", "f32", "fp8", "fp8_e5m2"],
+                   help="KV-cache STORAGE dtype (fp8 = float8_e4m3fn: half "
+                        "the cache memory and decode-attention traffic; "
+                        "compute stays bf16)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture a jax.profiler device trace of the "
                         "benchmark/eval into this directory")
     return p
+
+
+def _kv_dtype(name):
+    if name is None:
+        return None
+    import jax.numpy as jnp
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32,
+            "fp8": jnp.float8_e4m3fn, "fp8_e5m2": jnp.float8_e5m2}[name]
 
 
 def main(argv=None):
@@ -204,7 +217,8 @@ def main(argv=None):
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
                                  max_seq_len=max(n, 32),
                                  mesh=mesh, shard_map_tp=mesh is not None,
-                                 fuse_qkv=args.fuse_attn)
+                                 fuse_qkv=args.fuse_attn,
+                                 kv_dtype=_kv_dtype(args.kv_dtype))
             res = benchmark_decode(runner,
                                    np.asarray(test).reshape(-1)[:n][None],
                                    check=args.check)
@@ -232,7 +246,8 @@ def main(argv=None):
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
                                  max_seq_len=max_len,
                                  mesh=mesh, shard_map_tp=mesh is not None,
-                                 fuse_qkv=args.fuse_attn)
+                                 fuse_qkv=args.fuse_attn,
+                                 kv_dtype=_kv_dtype(args.kv_dtype))
             out = generate(runner, ids, args.max_new_tokens,
                            temperature=args.temperature, top_p=args.top_p,
                            min_new_tokens=args.min_new_tokens,

@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "backend use (see parallel/distributed.py)")
     p.add_argument("--quiet", action="store_true",
                    help="suppress progress lines on stderr")
+    p.add_argument("--kv-dtype", type=str, default=None, dest="kv_dtype",
+                   choices=["bf16", "f32", "fp8", "fp8_e5m2"],
+                   help="KV STORAGE dtype (fp8 = float8_e4m3fn: 2x tokens "
+                        "per pool, half the decode-attention traffic)")
     p.add_argument("--fuse-attn", action="store_true", dest="fuse_attn",
                    help="fuse q/k/v into one packed projection at load "
                         "(the reference's make_quant_attn; incompatible "
@@ -90,6 +94,7 @@ def main(argv=None):
     import jax.numpy as jnp
     from ..models import hf_loader
     from ..runtime.serve import GenRequest, ServingEngine
+    from .main import _kv_dtype
 
     t0 = time.time()
     model_dir = args.load or args.model
@@ -134,7 +139,8 @@ def main(argv=None):
         num_blocks=args.num_blocks, prefill_chunk=args.prefill_chunk,
         decode_span=args.span,
         prefill_buckets=tuple(int(b) for b in args.buckets.split(",")),
-        mesh=mesh, shard_map_tp=mesh is not None, fuse_qkv=args.fuse_attn)
+        mesh=mesh, shard_map_tp=mesh is not None, fuse_qkv=args.fuse_attn,
+        kv_dtype=_kv_dtype(args.kv_dtype))
     for uid, prompt in enumerate(prompts):
         engine.submit(GenRequest(uid=uid, prompt=prompt,
                                  max_new_tokens=args.max_new_tokens,

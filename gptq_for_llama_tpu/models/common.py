@@ -234,7 +234,8 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         mb, bs = tables.shape[1], kp.shape[1]
         kd = jnp.take(kp, tables, axis=0).reshape(b, mb * bs, kp.shape[2], d)
         vd = jnp.take(vp, tables, axis=0).reshape(b, mb * bs, vp.shape[2], d)
-        return sdpa(q, kd, vd, decode_mask(sq, mb * bs, decode_offset),
+        return sdpa(q, kd.astype(q.dtype), vd.astype(q.dtype),
+                    decode_mask(sq, mb * bs, decode_offset),
                     scale, decode_offset=decode_offset)
     if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
         # token-fused serving step (see apply_kv_cache "grouped"): split the
@@ -319,6 +320,9 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
                                     and jax.default_backend() != "tpu")
     hkv = k.shape[2]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
+    if k.dtype != q.dtype:  # fp8-stored cache: upcast for the XLA einsums
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
     if h != hkv:
         k = jnp.repeat(k, h // hkv, axis=2)
         v = jnp.repeat(v, h // hkv, axis=2)

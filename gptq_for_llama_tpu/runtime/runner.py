@@ -106,13 +106,17 @@ class ModelRunner:
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
                  dp_axis: str = "dp", unroll_layers: Optional[bool] = None,
-                 fuse_qkv: bool = False):
+                 fuse_qkv: bool = False, kv_dtype=None):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
         self.batch = batch_size
         self.max_len = max_seq_len or cfg.max_seq_len
         self.dtype = dtype
+        # KV-cache STORAGE dtype (halve cache memory + decode-attention HBM
+        # traffic with jnp.float8_e4m3fn; compute stays in self.dtype —
+        # update_kv_cache casts on write, sdpa/kernels upcast on read)
+        self.kv_dtype = kv_dtype or dtype
         if fuse_qkv and hasattr(self.arch, "fuse_attention"):
             # load-time q/k/v concat (make_quant_attn equivalent): one packed
             # weight stream + one kernel launch replace three per layer
@@ -255,7 +259,8 @@ class ModelRunner:
 
     def init_cache(self) -> KVCache:
         cache = KVCache.zeros(self.cfg, len(self.params["layers"]), self.batch,
-                              self.max_len, self.dtype, unrolled=self.unrolled)
+                              self.max_len, self.kv_dtype,
+                              unrolled=self.unrolled)
         if self._tp is not None:
             from jax.sharding import NamedSharding
             specs = self._cache_specs()

@@ -86,11 +86,14 @@ class ServingEngine:
                  unroll_layers: Optional[bool] = None,
                  decode_span: int = 1, fused_chunk_decode: bool = True,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
-                 fuse_qkv: bool = False):
+                 fuse_qkv: bool = False, kv_dtype=None):
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
         self.dtype = dtype
+        # KV STORAGE dtype (fp8 halves pool/cache memory -> 2x the tokens per
+        # pool and half the decode-attention HBM traffic; compute in `dtype`)
+        self.kv_dtype = kv_dtype or dtype
         self.b = batch_slots
         self.max_len = max_seq_len or cfg.max_seq_len
         self.buckets = tuple(b for b in prefill_buckets if b <= self.max_len)
@@ -624,9 +627,9 @@ class ServingEngine:
 
         def cache0():
             if self.unrolled:
-                return tuple(jnp.zeros(lshape, self.dtype)
+                return tuple(jnp.zeros(lshape, self.kv_dtype)
                              for _ in range(self.num_layers))
-            return jnp.zeros((self.num_layers,) + lshape, self.dtype)
+            return jnp.zeros((self.num_layers,) + lshape, self.kv_dtype)
         state = {
             "k": cache0(),
             "v": cache0(),
