@@ -46,10 +46,11 @@ class OffloadRunner:
 
     def __init__(self, arch_name: str, cfg, params, pre_layer: int,
                  dtype=jnp.bfloat16, batch_size: int = 1,
-                 max_seq_len: Optional[int] = None):
+                 max_seq_len: Optional[int] = None, kv_dtype=None):
         self.arch = get_arch(arch_name)
         self.cfg = cfg
         self.dtype = dtype
+        self.kv_dtype = kv_dtype or dtype
         self.pre_layer = pre_layer
         self.batch = batch_size
         self.max_len = max_seq_len or cfg.max_seq_len
@@ -118,8 +119,10 @@ class OffloadRunner:
         """Per-layer tuple static KV caches on device + offset 0."""
         shape = (self.batch, self.max_len, self.cfg.num_kv_heads,
                  self.cfg.head_dim)
-        k = tuple(jnp.zeros(shape, self.dtype) for _ in range(self.num_layers))
-        v = tuple(jnp.zeros(shape, self.dtype) for _ in range(self.num_layers))
+        k = tuple(jnp.zeros(shape, self.kv_dtype)
+                  for _ in range(self.num_layers))
+        v = tuple(jnp.zeros(shape, self.kv_dtype)
+                  for _ in range(self.num_layers))
         return k, v, jnp.zeros((), jnp.int32)
 
     def _stream_step(self, ids, cache):
