@@ -281,16 +281,49 @@ def pinned_roofline_bw(stage=lambda *_: None):
     return bw
 
 
+def _relay_alive(timeout: float = 240.0) -> bool:
+    """Probe the TPU relay in a SUBPROCESS with a hard timeout.
+
+    A dead axon relay makes backend init HANG (not raise), which would wedge
+    the whole bench run; probing out-of-process lets the parent fall back to
+    the CPU tiny bench and still emit a JSON line."""
+    import subprocess
+    import sys
+    code = ("import jax, numpy as np, jax.numpy as jnp;"
+            "x = jnp.ones((8, 128));"
+            "np.asarray(x @ x.T); print('RELAY_OK')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+        return "RELAY_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
     import sys
-    import jax
-    import jax.numpy as jnp
-    from gptq_for_llama_tpu.runtime import ModelRunner
 
     def stage(msg, _t=[time.perf_counter()]):
         now = time.perf_counter()
         print(f"[bench +{now - _t[0]:7.1f}s] {msg}", file=sys.stderr, flush=True)
         _t[0] = now
+
+    force_cpu = False
+    if os.environ.get("BENCH_TINY", "") != "1" \
+            and os.environ.get("BENCH_SKIP_PROBE", "") != "1":
+        if not _relay_alive():
+            stage("TPU relay unreachable (subprocess probe timed out): "
+                  "falling back to the CPU tiny bench")
+            force_cpu = True
+
+    import jax
+    if force_cpu:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+    import jax.numpy as jnp
+    from gptq_for_llama_tpu.runtime import ModelRunner
 
     try:  # persistent compile cache: driver re-runs skip the big compiles
         jax.config.update("jax_compilation_cache_dir",
