@@ -217,15 +217,20 @@ def probe_hbm_bw(samples: int = 5):
     iters = 100
 
     def make_loop(unroll):
-        def body(i, c):
-            for _ in range(unroll):
-                y = pk._qmm_2d(c, qw, s, zs, 4, gs)
-                c = x + 1e-12 * jnp.sum(y).astype(x.dtype)
-            return c
+        @jax.jit
+        def loop(x0, qw_, s_, zs_):
+            # weights as jit ARGUMENTS, not baked constants (CLAUDE.md)
+            def body(i, c):
+                for _ in range(unroll):
+                    y = pk._qmm_2d(c, qw_, s_, zs_, 4, gs)
+                    c = x0 + 1e-12 * jnp.sum(y).astype(x0.dtype)
+                return c
 
-        loop = jax.jit(lambda x: jax.lax.fori_loop(0, iters, body, x))
-        np.asarray(loop(x))  # compile + warm
-        return loop
+            return jax.lax.fori_loop(0, iters, body, x0)
+
+        wrapped = lambda x0: loop(x0, qw, s, zs)
+        np.asarray(wrapped(x))  # compile + warm
+        return wrapped
 
     loop1, loop9 = make_loop(1), make_loop(9)
 

@@ -234,7 +234,8 @@ def main(argv=None):
             from ..runtime.offload import OffloadRunner
             runner = OffloadRunner(cfg.arch, cfg, params,
                                    pre_layer=args.pre_layer,
-                                   max_seq_len=max_len)
+                                   max_seq_len=max_len,
+                                   kv_dtype=_kv_dtype(args.kv_dtype))
             out = runner.generate(ids, args.max_new_tokens,
                                   temperature=args.temperature,
                                   top_p=args.top_p,

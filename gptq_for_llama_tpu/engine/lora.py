@@ -4,7 +4,7 @@ The downstream use the reference designed its backward kernel for
 (reference: quant/quant_linear.py:282-301): freeze the packed weights,
 train rank-r deltas. Functional recipe:
 
-    params = attach_lora("llama", cfg, params, rank=8, key=key)
+    params = attach_lora("llama", params, rank=8, key=key)
     adapters, skeleton = split_lora(params)           # trainables | frozen
 
     def loss_fn(adapters, skeleton, ids, labels):

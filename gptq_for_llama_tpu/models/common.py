@@ -195,6 +195,24 @@ def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
+def _attn_impl(cache_dtype):
+    """(use_pallas, interpret) for the attention-kernel dispatch.
+
+    GPTQ_TPU_ATTN_IMPL: 'pallas' forces kernels (interpret off-TPU),
+    'xla' forces the fallback, '' auto (kernels on TPU). fp8-stored caches
+    stay on the XLA path until Mosaic fp8 sub-min-tile loads are validated
+    on real hardware (fp8 min tile is (32,128) sublanes vs our ht<=32 head
+    blocks — see scripts/r02_onchip.sh); GPTQ_TPU_ATTN_FP8=1 opts in."""
+    import os
+    forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
+    use = forced == "pallas" or (forced != "xla"
+                                 and jax.default_backend() == "tpu")
+    if (use and jnp.dtype(cache_dtype).itemsize == 1
+            and os.environ.get("GPTQ_TPU_ATTN_FP8", "") != "1"):
+        use = False
+    return use, forced == "pallas" and jax.default_backend() != "tpu"
+
+
 def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
          causal: bool = False):
     """Scaled dot-product attention with fp32 softmax.
@@ -218,19 +236,14 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         # pool-native kernel on TPU, gather-then-dense fallback elsewhere
         _, kp, tables = k
         _, vp, _ = v
-        import os
-        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
-        use = forced == "pallas" or (forced != "xla"
-                                     and jax.default_backend() == "tpu")
-        from ..ops.pallas.attention import (paged_decode_attention,
+        use, interp = _attn_impl(kp.dtype)
+        from ..ops.pallas.attention import (pool_decode_attention,
                                             supports_paged_decode)
         sc = scale if scale is not None else 1.0 / (d ** 0.5)
         if (use and sq == 1
                 and supports_paged_decode(kp.shape[1], h, kp.shape[2], d)):
-            return paged_decode_attention(
-                q, kp, vp, tables, decode_offset, sc,
-                interpret=forced == "pallas"
-                and jax.default_backend() != "tpu")
+            return pool_decode_attention(
+                q, kp, vp, tables, decode_offset, sc, interpret=interp)
         mb, bs = tables.shape[1], kp.shape[1]
         kd = jnp.take(kp, tables, axis=0).reshape(b, mb * bs, kp.shape[2], d)
         vd = jnp.take(vp, tables, axis=0).reshape(b, mb * bs, vp.shape[2], d)
@@ -254,14 +267,10 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         out_chunk = sdpa(q_chunk, kc, vc, m, scale, decode_offset=off0)
         return jnp.concatenate([out_dec[:, 0][None], out_chunk], axis=1)
     if causal and decode_offset is None and sq > 256:
-        import os
-        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
-        use = forced == "pallas" or (forced != "xla"
-                                     and jax.default_backend() == "tpu")
+        use, interp = _attn_impl(k.dtype)
         from ..ops.pallas.flash import (flash_prefill, flash_prefill_blocked,
                                         supports_prefill,
                                         supports_prefill_blocked)
-        interp = forced == "pallas" and jax.default_backend() != "tpu"
         sc = scale if scale is not None else 1.0 / (d ** 0.5)
         if use and supports_prefill(sq, k.shape[1], h, k.shape[2], d):
             return flash_prefill(q, k, v, sc, interpret=interp)
@@ -274,17 +283,13 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         # cached prefill: sq chunk tokens attending a cache of skv slots at
         # offset (chunked serving prefill / offloaded generation ramp). The
         # additive mask encodes the same predicate the kernel applies.
-        import os
-        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
-        use = forced == "pallas" or (forced != "xla"
-                                     and jax.default_backend() == "tpu")
+        use, interp = _attn_impl(k.dtype)
         from ..ops.pallas.flash import (flash_prefill_blocked,
                                         supports_prefill_blocked)
         if use and supports_prefill_blocked(sq, k.shape[1], h, k.shape[2], d):
             sc = scale if scale is not None else 1.0 / (d ** 0.5)
             return flash_prefill_blocked(q, k, v, decode_offset, sc,
-                                         interpret=forced == "pallas"
-                                         and jax.default_backend() != "tpu")
+                                         interpret=interp)
     # long prefill: chunk the query axis so the (B, H, Sq, Skv) fp32 logits
     # transient stays bounded (~64 MB at chunk 256, S=2048) instead of O(S^2).
     # Also reached with a SCALAR decode_offset when the blocked flash kernel
@@ -307,17 +312,13 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
                              else decode_offset + qs))
         return jnp.concatenate(outs, axis=1)
     if decode_offset is not None and sq == 1:
-        import os
-        forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
-        use = forced == "pallas" or (forced != "xla"
-                                     and jax.default_backend() == "tpu")
+        use, interp = _attn_impl(k.dtype)
         from ..ops.pallas.attention import (decode_attention,
                                             supports_decode_attention)
         if use and supports_decode_attention(sq, h, k.shape[2], d):
             sc = scale if scale is not None else 1.0 / (d ** 0.5)
             return decode_attention(q, k, v, decode_offset, sc,
-                                    interpret=forced == "pallas"
-                                    and jax.default_backend() != "tpu")
+                                    interpret=interp)
     hkv = k.shape[2]
     scale = scale if scale is not None else 1.0 / (d ** 0.5)
     if k.dtype != q.dtype:  # fp8-stored cache: upcast for the XLA einsums

@@ -146,8 +146,8 @@ def supports_paged_decode(block_size: int, num_heads: int, num_kv_heads: int,
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
-def paged_decode_attention(q, k_pool, v_pool, tables, offset, scale: float,
-                           interpret: bool = False):
+def pool_decode_attention(q, k_pool, v_pool, tables, offset,
+                          scale: float, interpret: bool = False):
     """Decode attention DIRECTLY over the paged block pool.
 
     q: (B, 1, H, D); pools: (NB, BS, Hkv, D); tables: (B, MB) int32 physical

@@ -134,33 +134,36 @@ def candidates(k: int, n: int, gs: int, bits: int, n_weights: int = 1):
 # measurement (slope method; see scripts/kbench.py)
 # ---------------------------------------------------------------------------
 
-def _timed_loop(fn, x, iters: int, reps: int, unroll: int) -> float:
+def _timed_loop(fn, x, args, iters: int, reps: int, unroll: int) -> float:
     import jax
     import jax.numpy as jnp
 
-    def body(i, c):
-        for _ in range(unroll):
-            y = fn(c)
-            c = x + 1e-12 * jnp.sum(y).astype(x.dtype)
-        return c
-
     @jax.jit
-    def loop(x):
-        return jax.lax.fori_loop(0, iters, body, x)
+    def loop(x0, *a):
+        # weight buffers ride as jit ARGUMENTS (CLAUDE.md: closing over
+        # arrays bakes them into the program as constants — each candidate
+        # compile would ship MBs through the remote-compile service)
+        def body(i, c):
+            for _ in range(unroll):
+                y = fn(c, *a)
+                c = x0 + 1e-12 * jnp.sum(y).astype(x0.dtype)
+            return c
 
-    np.asarray(loop(x))  # compile + settle (relay: block_until_ready lies)
+        return jax.lax.fori_loop(0, iters, body, x0)
+
+    np.asarray(loop(x, *args))  # compile+settle (relay: block_until_ready lies)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(loop(x))
+        np.asarray(loop(x, *args))
         best = min(best, time.perf_counter() - t0)
     return best
 
 
-def measure(fn, x, iters: int = 20, reps: int = 2) -> float:
-    """Per-call seconds of fn(x) -> y, dispatch floors cancelled."""
-    t_lo = _timed_loop(fn, x, iters, reps, 1)
-    t_hi = _timed_loop(fn, x, iters, reps, 5)
+def measure(fn, x, args=(), iters: int = 20, reps: int = 2) -> float:
+    """Per-call seconds of fn(x, *args) -> y, dispatch floors cancelled."""
+    t_lo = _timed_loop(fn, x, args, iters, reps, 1)
+    t_hi = _timed_loop(fn, x, args, iters, reps, 5)
     return max((t_hi - t_lo) / (iters * 4), 1e-9)
 
 
@@ -185,30 +188,29 @@ def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
     zs = (lin.zeros.astype(jnp.float32) * lin.scales.astype(jnp.float32)
           ).astype(lin.scales.dtype)
     x = jnp.ones((mb, kp if kind == "fwd" else n), jnp.bfloat16)
+    wargs = (lin.qweight, lin.scales, zs)
 
     if kind == "fwd":
         def make(bg, bn):
-            return lambda xx: pk._qmm_2d(xx, lin.qweight, lin.scales, zs,
-                                         bits, gs, block_n=bn,
-                                         block_groups=bg)
+            return lambda xx, qw, s, z: pk._qmm_2d(
+                xx, qw, s, z, bits, gs, block_n=bn, block_groups=bg)
     else:  # grad-input: cotangent (m, N) -> dx (m, K)
         def make(bg, bn):
-            return lambda gg: pk._qmm_t_2d(gg, lin.qweight, lin.scales, zs,
-                                           bits, gs, block_n=bn,
-                                           block_groups=bg)
+            return lambda gg, qw, s, z: pk._qmm_t_2d(
+                gg, qw, s, z, bits, gs, block_n=bn, block_groups=bg)
 
-    best = _race(make, cands, x, kind, kp, n, mb, iters, reps, log)
+    best = _race(make, cands, x, wargs, kind, kp, n, mb, iters, reps, log)
     if best is not None:
         store(kind, kp, n, bits, gs, m, best)
     return best
 
 
-def _race(make, cands, x, kind, kp, n, mb, iters, reps, log):
+def _race(make, cands, x, wargs, kind, kp, n, mb, iters, reps, log):
     """Measure every candidate tiling, return the fastest (or None)."""
     best, best_t = None, float("inf")
     for bg, bn in cands:
         try:
-            t = measure(make(bg, bn), x, iters=iters, reps=reps)
+            t = measure(make(bg, bn), x, wargs, iters=iters, reps=reps)
         except Exception:
             continue  # OOM/unsupported tiling = inf, like the reference
         if log:
@@ -241,13 +243,13 @@ def tune_mlp(gate, up, m: int, iters: int = 20, reps: int = 2,
     zsu = (up.zeros.astype(f32) * up.scales.astype(f32)
            ).astype(up.scales.dtype)
     x = jnp.ones((mb, kp), jnp.bfloat16)
+    wargs = (gate.qweight, gate.scales, zsg, up.qweight, up.scales, zsu)
 
     def make(bg, bn):
-        return lambda xx: mk._fused_2d(
-            xx, gate.qweight, gate.scales, zsg, up.qweight, up.scales, zsu,
-            bits, gs, block_n=bn, block_groups=bg)
+        return lambda xx, qg, sg, zg, qu, su, zu: mk._fused_2d(
+            xx, qg, sg, zg, qu, su, zu, bits, gs, block_n=bn, block_groups=bg)
 
-    best = _race(make, cands, x, "mlp", kp, n, mb, iters, reps, log)
+    best = _race(make, cands, x, wargs, "mlp", kp, n, mb, iters, reps, log)
     if best is not None:
         store("mlp", kp, n, bits, gs, m, best)
     return best

@@ -68,7 +68,7 @@ def test_tune_qmm_selects_fake_fastest_and_persists(tune_cache, monkeypatch):
     want = at.candidates(lin.k_padded, lin.out_features, lin.groupsize,
                          lin.bits)[-1]
 
-    def fake_measure(fn, x, iters=20, reps=2):
+    def fake_measure(fn, x, args=(), iters=20, reps=2):
         # pretend the LAST candidate is fastest (recorded via closure below)
         fake_measure.calls += 1
         return 1e-3 if fake_measure.calls == fake_measure.n else 2e-3
@@ -130,7 +130,7 @@ def test_tune_qmm_bwd_kind(tune_cache, monkeypatch):
     cands = at.candidates(lin.k_padded, lin.out_features, lin.groupsize,
                           lin.bits)
 
-    def fake_measure(fn, x, iters=20, reps=2):
+    def fake_measure(fn, x, args=(), iters=20, reps=2):
         assert x.shape == (8, lin.out_features)  # cotangent rows, N cols
         fake_measure.calls += 1
         return 1e-3 if fake_measure.calls == len(cands) else 2e-3
@@ -150,7 +150,7 @@ def test_tune_mlp_selects_fake_fastest_and_persists(tune_cache, monkeypatch):
                           gate.bits, n_weights=2)
     want = cands[-1]
 
-    def fake_measure(fn, x, iters=20, reps=2):
+    def fake_measure(fn, x, args=(), iters=20, reps=2):
         fake_measure.calls += 1
         return 1e-3 if fake_measure.calls == len(cands) else 2e-3
     fake_measure.calls = 0

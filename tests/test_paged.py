@@ -126,12 +126,12 @@ def test_paged_matches_dense_cache():
 
 
 def test_pool_native_decode_kernel_parity():
-    """ops/pallas/attention.paged_decode_attention (pool-native, table-routed
+    """ops/pallas/attention.pool_decode_attention (pool-native, table-routed
     block DMA) matches the dense decode kernel over the gathered view —
     interpret mode, GQA shapes, varied live lengths, permuted physical
     blocks."""
     from gptq_for_llama_tpu.ops.pallas.attention import (
-        decode_attention, paged_decode_attention as pool_kernel,
+        decode_attention, pool_decode_attention as pool_kernel,
         supports_paged_decode)
     rng = np.random.RandomState(0)
     B, H, HKV, D = 3, 8, 4, 128
