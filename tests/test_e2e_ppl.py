@@ -25,7 +25,7 @@ REF = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
                                 reason="reference tree not mounted")
 
-NSAMPLES, SEQLEN, WBITS, GROUPSIZE = 8, 64, 4, 16
+NSAMPLES, SEQLEN, GROUPSIZE = 8, 64, 16
 
 ARCHES = {
     "llama": dict(file="llama.py", seq="llama_sequential", ev="llama_eval",
@@ -137,7 +137,7 @@ def _model_dir(tmp_path_factory, arch):
     return mdir
 
 
-def _reference_ppl(ref_env, arch, model_dir, actorder):
+def _reference_ppl(ref_env, arch, model_dir, actorder, wbits):
     """Quantize + eval with the reference's own code. Returns perplexity."""
     import torch
     import transformers
@@ -149,7 +149,7 @@ def _reference_ppl(ref_env, arch, model_dir, actorder):
     cal, test = _calibration_and_test()
     dataloader = [(torch.from_numpy(c[None]), torch.zeros(1)) for c in cal]
     args = types.SimpleNamespace(
-        nsamples=NSAMPLES, wbits=WBITS, groupsize=GROUPSIZE, sym=False,
+        nsamples=NSAMPLES, wbits=wbits, groupsize=GROUPSIZE, sym=False,
         percdamp=0.01, act_order=actorder, true_sequential=False,
         observe=False, nearest=False, trits=False)
     ref_mod.args = args
@@ -164,7 +164,7 @@ def _reference_ppl(ref_env, arch, model_dir, actorder):
     return float(lines[-1])  # *_eval prints the ppl last (llama.py:259)
 
 
-def _our_ppl(model_dir, actorder):
+def _our_ppl(model_dir, actorder, wbits):
     """Quantize + pack + eval with this framework on the same inputs.
     Returns (fake-quant ppl, packed-kernel ppl)."""
     import jax.numpy as jnp
@@ -174,7 +174,7 @@ def _our_ppl(model_dir, actorder):
     cal, test = _calibration_and_test()
     cfg, params = hf_loader.load_params(model_dir, seqlen=SEQLEN,
                                         dtype=jnp.float32)
-    spec = QuantizeSpec(wbits=WBITS, groupsize=GROUPSIZE, sym=False,
+    spec = QuantizeSpec(wbits=wbits, groupsize=GROUPSIZE, sym=False,
                         percdamp=0.01, act_order=actorder,
                         true_sequential=False)
     p2, quantizers, _ = quantize_model(cfg.arch, cfg, params,
@@ -188,13 +188,18 @@ def _our_ppl(model_dir, actorder):
     return ppl_fake, ppl_packed
 
 
-@pytest.mark.parametrize("arch,actorder", [("llama", False), ("llama", True),
-                                           ("opt", False), ("neox", False)])
+@pytest.mark.parametrize("arch,actorder,wbits", [
+    ("llama", False, 4), ("llama", True, 4), ("opt", False, 4),
+    ("neox", False, 4),
+    # 3-bit: the reference's fake-quant eval supports it even though its
+    # triton QuantLinear cannot PACK it (quant_linear.py:308-309) — our
+    # packed bit-plane 3-bit path must land on the reference's number
+    ("llama", False, 3)])
 def test_quantize_pack_eval_ppl_matches_reference(ref_env, tmp_path_factory,
-                                                  arch, actorder):
+                                                  arch, actorder, wbits):
     model_dir = _model_dir(tmp_path_factory, arch)
-    ref = _reference_ppl(ref_env, arch, model_dir, actorder)
-    fake, packed = _our_ppl(model_dir, actorder)
+    ref = _reference_ppl(ref_env, arch, model_dir, actorder, wbits)
+    fake, packed = _our_ppl(model_dir, actorder, wbits)
     # same data + bit-parity solver => same number. 1e-3 relative covers
     # fp32-vs-torch reduction-order noise; measured gap is ~1e-6 relative.
     assert abs(fake - ref) / ref < 1e-3, (fake, ref)
