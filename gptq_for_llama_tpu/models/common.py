@@ -151,19 +151,21 @@ def apply_kv_cache(past_kv, k, v):
         # the paged twin of "grouped": decode rows write/read through the
         # block pool; the chunk rows write whole blocks of slot `slot`'s
         # table at off0 (prefill_chunk % block_size enforced by the engine).
-        # The gathered logical views feed the same "grouped" sdpa split.
+        # Attention reads the POOL markers: the decode group dispatches the
+        # pool-native kernel, the chunk group gathers only ITS slot's row
+        # (the old path gathered the full (B, MB*BS) logical views).
         _, kp, vp, tables, offsets, live, slot, off0, b_dec = past_kv
         from ..runtime.paged import paged_update_layer
         k_dec, v_dec = k[0, :b_dec][:, None], v[0, :b_dec][:, None]
         k_chunk, v_chunk = k[0, b_dec:][None], v[0, b_dec:][None]
         trow = jax.lax.dynamic_slice_in_dim(tables, slot, 1, axis=0)
         kp, vp, _, _ = paged_update_layer(kp, vp, k_chunk, v_chunk, trow,
-                                          off0)
-        kp, vp, k_eff, v_eff = paged_update_layer(kp, vp, k_dec, v_dec,
-                                                  tables, offsets,
-                                                  write_mask=live)
-        return k_eff, v_eff, (kp, vp), ("grouped", offsets, slot, off0,
-                                        b_dec)
+                                          off0, gather=False)
+        kp, vp, _, _ = paged_update_layer(kp, vp, k_dec, v_dec,
+                                          tables, offsets,
+                                          write_mask=live, gather=False)
+        return (("pool", kp, tables), ("pool", vp, tables), (kp, vp),
+                ("grouped", offsets, slot, off0, b_dec))
     if past_kv[0] == "paged":
         _, kp, vp, tables, offset = past_kv[:5]
         write_mask = past_kv[5] if len(past_kv) > 5 else None
@@ -231,6 +233,37 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     prefills to the VMEM-resident flash kernel on TPU.
     """
     b, sq, h, d = q.shape
+    if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
+        # token-fused serving step (see apply_kv_cache "grouped"): split the
+        # flat token rows into the per-slot decode group and the one-slot
+        # chunk group; each attends its own cache view. k/v are the updated
+        # caches — dense (B, S, Hkv, D) arrays or paged pool markers.
+        _, offsets, slot, off0, b_dec = decode_offset
+        q_dec = q[0, :b_dec][:, None]                      # (B, 1, H, D)
+        if isinstance(k, tuple) and k[0] == "pool":
+            # decode group recurses into the pool branch below (sq == 1);
+            # the chunk group gathers only ITS slot's logical view
+            _, kp, tables = k
+            _, vp, _ = v
+            out_dec = sdpa(q_dec, k, v, None, scale, decode_offset=offsets)
+            trow = jax.lax.dynamic_slice_in_dim(tables, slot, 1, axis=0)[0]
+            mb, bs = tables.shape[1], kp.shape[1]
+            kc = jnp.take(kp, trow, axis=0).reshape(
+                1, mb * bs, kp.shape[2], d).astype(q.dtype)
+            vc = jnp.take(vp, trow, axis=0).reshape(
+                1, mb * bs, vp.shape[2], d).astype(q.dtype)
+            skv = mb * bs
+        else:
+            m_dec = decode_mask(1, k.shape[1], offsets)  # XLA-fallback mask
+            out_dec = sdpa(q_dec, k, v, m_dec, scale, decode_offset=offsets)
+            kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)
+            vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)
+            skv = k.shape[1]
+        q_chunk = q[0, b_dec:][None]                       # (1, C, H, D)
+        m = decode_mask(q_chunk.shape[1], skv, off0)
+        # scalar offset + sq>1 dispatches the blocked flash kernel on TPU
+        out_chunk = sdpa(q_chunk, kc, vc, m, scale, decode_offset=off0)
+        return jnp.concatenate([out_dec[:, 0][None], out_chunk], axis=1)
     if isinstance(k, tuple) and k[0] == "pool":
         # paged decode: k/v are ("pool", pool (NB, BS, Hkv, D), tables) —
         # pool-native kernel on TPU, gather-then-dense fallback elsewhere
@@ -250,22 +283,6 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         return sdpa(q, kd.astype(q.dtype), vd.astype(q.dtype),
                     decode_mask(sq, mb * bs, decode_offset),
                     scale, decode_offset=decode_offset)
-    if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
-        # token-fused serving step (see apply_kv_cache "grouped"): split the
-        # flat token rows into the per-slot decode group and the one-slot
-        # chunk group; each attends its own cache view. k/v here ARE the
-        # updated caches (B, S, Hkv, D).
-        _, offsets, slot, off0, b_dec = decode_offset
-        q_dec = q[0, :b_dec][:, None]                      # (B, 1, H, D)
-        m_dec = decode_mask(1, k.shape[1], offsets)  # for the XLA fallback
-        out_dec = sdpa(q_dec, k, v, m_dec, scale, decode_offset=offsets)
-        q_chunk = q[0, b_dec:][None]                       # (1, C, H, D)
-        kc = jax.lax.dynamic_slice_in_dim(k, slot, 1, axis=0)
-        vc = jax.lax.dynamic_slice_in_dim(v, slot, 1, axis=0)
-        m = decode_mask(q_chunk.shape[1], k.shape[1], off0)
-        # scalar offset + sq>1 dispatches the blocked flash kernel on TPU
-        out_chunk = sdpa(q_chunk, kc, vc, m, scale, decode_offset=off0)
-        return jnp.concatenate([out_dec[:, 0][None], out_chunk], axis=1)
     if causal and decode_offset is None and sq > 256:
         use, interp = _attn_impl(k.dtype)
         from ..ops.pallas.flash import (flash_prefill, flash_prefill_blocked,
