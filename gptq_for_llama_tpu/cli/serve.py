@@ -165,6 +165,7 @@ def main(argv=None):
     print(json.dumps({
         "requests": len(results), "tokens": total,
         "tok_s": round(total / max(dt, 1e-9), 2),
+        **engine.stats(),
         "slots": args.slots, "span": args.span, "paged": args.paged,
         "prefill_chunk": args.prefill_chunk, "tp": args.tp,
         "max_seq_len": max_len,

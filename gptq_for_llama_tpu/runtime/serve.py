@@ -187,6 +187,8 @@ class ServingEngine:
         self.slots = [_Slot() for _ in range(batch_slots)]
         self.queue: list[GenRequest] = []
         self.results: dict[int, np.ndarray] = {}
+        # per-request wall-clock metrics: submit -> first token -> done
+        self._meta: dict[int, dict] = {}
         self._key = jax.random.PRNGKey(0)
 
     # -- jitted model steps --------------------------------------------------
@@ -507,6 +509,7 @@ class ServingEngine:
                                     req.top_p)[0])
             slot.pending = None
             slot.generated = [tok]
+            self._mark_first(req.uid)
             state["host_off"][i] = slot.plen
             state["temps"][i] = req.temperature
             state["tops"][i] = req.top_p
@@ -533,7 +536,30 @@ class ServingEngine:
     # -- scheduler -----------------------------------------------------------
 
     def submit(self, req: GenRequest):
+        self._meta[req.uid] = {"submit": time.perf_counter()}
         self.queue.append(req)
+
+    def _mark_first(self, uid: int):
+        m = self._meta.get(uid)
+        if m is not None and "first" not in m:
+            m["first"] = time.perf_counter()
+
+    def stats(self) -> dict:
+        """Aggregate per-request wall-clock metrics over completed requests:
+        time-to-first-token and end-to-end latency (p50/p95, seconds)."""
+        done = [m for m in self._meta.values() if "done" in m]
+        if not done:
+            return {}
+        ttft = np.asarray([m["first"] - m["submit"] for m in done
+                           if "first" in m])
+        lat = np.asarray([m["done"] - m["submit"] for m in done])
+
+        def pct(a, p):
+            return round(float(np.percentile(a, p)), 4) if a.size else None
+
+        return {"completed": len(done),
+                "ttft_p50_s": pct(ttft, 50), "ttft_p95_s": pct(ttft, 95),
+                "latency_p50_s": pct(lat, 50), "latency_p95_s": pct(lat, 95)}
 
     def _admit(self, state):
         """Fill free slots from the queue (one prefill per free slot)."""
@@ -600,6 +626,7 @@ class ServingEngine:
             tok = int(sample_logits(last, sub, req.temperature, req.top_p)[0])
             slot.req = req
             slot.generated = [tok]
+            self._mark_first(req.uid)
             slot.done = False
             state["host_off"][i] = len(prompt)
             state["temps"][i] = req.temperature
@@ -718,6 +745,7 @@ class ServingEngine:
                     if ended or full or len(slot.generated) >= req.max_new_tokens:
                         self.results[req.uid] = np.asarray(slot.generated,
                                                            np.int32)
+                        self._meta[req.uid]["done"] = time.perf_counter()
                         slot.done = True
                         state["live"][i] = False
                         # paged blocks are NOT released here: a retired slot
