@@ -97,6 +97,11 @@ class ServingEngine:
         self.b = batch_slots
         self.max_len = max_seq_len or cfg.max_seq_len
         self.buckets = tuple(b for b in prefill_buckets if b <= self.max_len)
+        # implicit final bucket: a prompt longer than every configured bucket
+        # but within the cache must still be servable (one extra compile at
+        # full length instead of a ValueError)
+        if not self.buckets or self.buckets[-1] < self.max_len:
+            self.buckets = self.buckets + (self.max_len,)
         # paged mode: slots share a block pool sized by actual tokens instead
         # of slots * max_len (runtime/paged.py); prompts always start at a
         # block boundary (offset 0), so prefill writes whole blocks

@@ -307,3 +307,18 @@ def test_serving_all_arches_match_runner():
                 np.testing.assert_array_equal(
                     results[uid], want[0, len(p):],
                     err_msg=f"{name} {kw} request {uid}")
+
+
+def test_prompt_longer_than_buckets_still_serves():
+    """A prompt beyond every configured prefill bucket but within the cache
+    uses the implicit full-length bucket instead of raising."""
+    cfg, params = _setup()
+    eng = ServingEngine("llama", cfg, params, batch_slots=2, max_seq_len=32,
+                        dtype=jnp.float32, prefill_buckets=(8,))
+    p = np.arange(1, 13, dtype=np.int32)  # 12 > bucket 8
+    eng.submit(GenRequest(uid=0, prompt=p, max_new_tokens=4, temperature=0.0))
+    results = eng.run()
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    want = generate(runner, p, max_new_tokens=4, temperature=0.0)
+    np.testing.assert_array_equal(results[0], want[0, len(p):])
