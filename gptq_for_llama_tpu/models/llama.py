@@ -167,6 +167,15 @@ def fuse_attention(params):
         lp = dict(lp)
         lp["self_attn"] = att
         out["layers"].append(lp)
+    n_fused = sum(1 for lp in out["layers"] if "qkv_proj" in lp["self_attn"])
+    if n_fused < len(out["layers"]):
+        # dense layers or incompatible layouts (e.g. act-order: q/k/v carry
+        # different input permutations) cannot concat — say so instead of
+        # silently ignoring the fuse request
+        import sys
+        print(f"fuse_attention: fused {n_fused}/{len(out['layers'])} layers "
+              "(rest have dense or layout-incompatible q/k/v)",
+              file=sys.stderr)
     return out
 
 
