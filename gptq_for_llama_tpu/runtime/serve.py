@@ -153,8 +153,14 @@ class ServingEngine:
             # before any step traces (no-op off-TPU / on cache hits)
             from ..ops.pallas import autotune as at
             from .runner import collect_mlp_pairs, collect_packed_linears
-            at.ensure_linears(collect_packed_linears(params), max(8, self.b))
-            at.ensure_mlp_pairs(collect_mlp_pairs(params), max(8, self.b))
+            lins = collect_packed_linears(params)
+            pairs = collect_mlp_pairs(params)
+            at.ensure_linears(lins, max(8, self.b))
+            at.ensure_mlp_pairs(pairs, max(8, self.b))
+            if prefill_chunk is not None and fused_chunk_decode:
+                # the fused chunk+decode program runs linears at B+C rows
+                at.ensure_linears(lins, self.b + prefill_chunk)
+                at.ensure_mlp_pairs(pairs, self.b + prefill_chunk)
         stacked = None if self.unrolled else stack_layers(params["layers"])
         self._sp = {
             "statics": {k: v for k, v in params.items() if k != "layers"},
@@ -412,7 +418,6 @@ class ServingEngine:
             return last, k_pool, v_pool
 
         fn = chunk_paged if self.paged else chunk_dense
-        self._chunk_raw = fn
         if self._tp is not None:
             cache = self._cache_pspec()
             self._chunk_fn = self._jit_tp(
@@ -513,14 +518,15 @@ class ServingEngine:
             tok = int(sample_logits(last, sub, req.temperature,
                                     req.top_p)[0])
             slot.pending = None
-            slot.generated = [tok]
-            self._mark_first(req.uid)
             state["host_off"][i] = slot.plen
             state["temps"][i] = req.temperature
             state["tops"][i] = req.top_p
-            state["toks"][i] = tok
-            state["live"][i] = True
             state["off"] = state["off"].at[i].set(slot.plen)
+            if self._activate(slot, req, tok):
+                state["toks"][i] = tok
+                state["live"][i] = True
+            else:
+                state["live"][i] = False
 
     def _prefill_tick(self, state) -> bool:
         """Advance ONE pending slot by one chunk; True if a chunk ran."""
@@ -541,8 +547,46 @@ class ServingEngine:
     # -- scheduler -----------------------------------------------------------
 
     def submit(self, req: GenRequest):
+        """Queue a request; rejects up front what could never be served
+        (instead of raising mid-run and losing in-flight sequences, or
+        spinning forever on an impossible paged allocation)."""
+        plen = len(np.asarray(req.prompt).reshape(-1))
+        cap = self.logical_len if self.paged else self.max_len
+        if plen + 1 > cap:
+            raise ValueError(
+                f"prompt length {plen} leaves no room to generate in a "
+                f"{cap}-row cache (max_seq_len={self.max_len})")
+        if self.paged:
+            if self.prefill_chunk is not None:
+                blen = -(-plen // self.prefill_chunk) * self.prefill_chunk
+            else:
+                blen = _bucket(plen, self.buckets)
+            tokens = min(max(blen, plen + req.max_new_tokens
+                             + self.decode_span - 1), self.logical_len)
+            need = -(-tokens // self.block_size)
+            if need > self.num_blocks:
+                raise ValueError(
+                    f"request needs {need} KV blocks but the pool has "
+                    f"{self.num_blocks}; raise num_blocks or lower "
+                    f"max_new_tokens/decode_span")
         self._meta[req.uid] = {"submit": time.perf_counter()}
         self.queue.append(req)
+
+    def _activate(self, slot, req, tok: int) -> bool:
+        """Bookkeeping for the prefill-sampled FIRST token. Returns False
+        when the request is already complete (eos on the first token, or
+        max_new_tokens == 1) — the slot retires without ever entering the
+        decode batch, matching runner.generate semantics."""
+        slot.generated = [tok]
+        self._mark_first(req.uid)
+        ended = req.eos_token_id is not None and tok == req.eos_token_id
+        if ended or req.max_new_tokens <= 1:
+            self.results[req.uid] = np.asarray([tok], np.int32)
+            self._meta[req.uid]["done"] = time.perf_counter()
+            slot.done = True
+            return False
+        slot.done = False
+        return True
 
     def _mark_first(self, uid: int):
         m = self._meta.get(uid)
@@ -630,15 +674,15 @@ class ServingEngine:
             self._key, sub = jax.random.split(self._key)
             tok = int(sample_logits(last, sub, req.temperature, req.top_p)[0])
             slot.req = req
-            slot.generated = [tok]
-            self._mark_first(req.uid)
-            slot.done = False
             state["host_off"][i] = len(prompt)
             state["temps"][i] = req.temperature
             state["tops"][i] = req.top_p
-            state["toks"][i] = tok
-            state["live"][i] = True
             offsets = offsets.at[i].set(len(prompt))
+            if self._activate(slot, req, tok):
+                state["toks"][i] = tok
+                state["live"][i] = True
+            else:
+                state["live"][i] = False
         state["k"], state["v"], state["off"] = k_cache, v_cache, offsets
 
     def run(self, log=None) -> dict[int, np.ndarray]:

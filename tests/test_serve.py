@@ -322,3 +322,41 @@ def test_prompt_longer_than_buckets_still_serves():
                          dtype=jnp.float32)
     want = generate(runner, p, max_new_tokens=4, temperature=0.0)
     np.testing.assert_array_equal(results[0], want[0, len(p):])
+
+
+def test_first_token_retirement_and_submit_validation():
+    """max_new_tokens=1 returns exactly ONE token (runner.generate parity);
+    over-length prompts and impossible paged requests are rejected at
+    submit() instead of crashing or spinning the engine mid-run."""
+    import pytest
+    cfg, params = _setup()
+    eng = ServingEngine("llama", cfg, params, batch_slots=2, max_seq_len=16,
+                        dtype=jnp.float32, prefill_buckets=(8,))
+    p = np.array([1, 2, 3], np.int32)
+    eng.submit(GenRequest(uid=0, prompt=p, max_new_tokens=1, temperature=0.0))
+    results = eng.run()
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    want = generate(runner, p, max_new_tokens=1, temperature=0.0)
+    np.testing.assert_array_equal(results[0], want[0, len(p):])
+    assert len(results[0]) == 1
+
+    # eos as the very first sampled token retires immediately
+    first = int(results[0][0])
+    eng2 = ServingEngine("llama", cfg, params, batch_slots=2, max_seq_len=16,
+                         dtype=jnp.float32, prefill_buckets=(8,))
+    eng2.submit(GenRequest(uid=0, prompt=p, max_new_tokens=8,
+                           temperature=0.0, eos_token_id=first))
+    r2 = eng2.run()
+    assert list(r2[0]) == [first]
+
+    # prompt leaving no room to generate: rejected at submit
+    with pytest.raises(ValueError, match="no room"):
+        eng.submit(GenRequest(uid=9, prompt=np.arange(16, dtype=np.int32),
+                              max_new_tokens=4))
+    # paged request that could NEVER fit the pool: rejected at submit
+    eng3 = ServingEngine("llama", cfg, params, batch_slots=2, max_seq_len=32,
+                         dtype=jnp.float32, prefill_buckets=(8,), paged=True,
+                         block_size=8, num_blocks=2)
+    with pytest.raises(ValueError, match="KV blocks"):
+        eng3.submit(GenRequest(uid=9, prompt=p, max_new_tokens=24))
