@@ -64,8 +64,8 @@ class OffloadRunner:
         arch, c = self.arch, cfg
 
         @jax.jit
-        def layer_fwd(lp, x, positions, mask):
-            y, _, _ = arch.layer(c, lp, x, positions, mask)
+        def layer_fwd(lp, x, positions, mask, rope):
+            y, _, _ = arch.layer(c, lp, x, positions, mask, rope=rope)
             return y
 
         self._layer_fwd = layer_fwd
@@ -98,9 +98,12 @@ class OffloadRunner:
         mask = causal_mask(s, s)
         params = dict(self.statics)
         x = self.arch.embed(params, self.cfg, ids, positions).astype(self.dtype)
+        # rope hoisted once per window (layers would otherwise recompute the
+        # full cos/sin tables per layer)
+        rope = self.arch.step_rope(self.cfg, positions, self.dtype)
 
         for lp in self.resident:
-            x = self._layer_fwd(lp, x, positions, mask)
+            x = self._layer_fwd(lp, x, positions, mask, rope)
 
         # stage layer i+1 while layer i computes (device_put is async)
         staged: Optional[dict] = (_to_device(self.host_layers[0])
@@ -108,7 +111,7 @@ class OffloadRunner:
         for i in range(len(self.host_layers)):
             nxt = (_to_device(self.host_layers[i + 1])
                    if i + 1 < len(self.host_layers) else None)
-            x = self._layer_fwd(staged, x, positions, mask)
+            x = self._layer_fwd(staged, x, positions, mask, rope)
             staged = nxt
 
         return self.arch.head(params, self.cfg, x)
@@ -166,39 +169,24 @@ class OffloadRunner:
                  stream=None) -> np.ndarray:
         """Autoregressive generation with half-resident weights — the
         reference's offloaded-decode use case (llama_inference_offload.py:
-        186-235). Same sampling semantics as runtime.runner.generate, so
+        186-235). Delegates to runtime.runner.generate (this runner exposes
+        the same init_cache/prefill/decode surface), so sampling semantics —
+        including min_new_tokens EOS suppression — stay in one place and
         greedy output bit-matches a fully resident ModelRunner."""
-        from .runner import sample_logits
-        ids = np.atleast_2d(np.asarray(prompt_ids, dtype=np.int32))
-        b, s = ids.shape
-        assert b == self.batch, f"batch {self.batch} != prompt batch {b}"
-        assert s + max_new_tokens <= self.max_len, "exceeds cache capacity"
-        key = jax.random.PRNGKey(seed)
-
-        cache = self.init_cache()
-        logits, cache = self.prefill(ids, cache)
-        out = [ids]
-        last = logits[:, -1]
-        done = np.zeros(b, bool)
-        for step in range(max_new_tokens):
-            key, sub = jax.random.split(key)
-            nxt = np.asarray(sample_logits(last, sub, temperature, top_p,
-                                           top_k), np.int32)
-            if eos_token_id is not None and step >= min_new_tokens:
-                done |= nxt.reshape(-1) == eos_token_id
-            out.append(nxt.reshape(b, 1))
-            if stream is not None:
-                stream(nxt.reshape(-1))
-            if done.all():
-                break
-            logits, cache = self.decode(nxt.reshape(b, 1), cache)
-            last = logits[:, -1]
-        return np.concatenate(out, axis=1)
+        from .runner import generate as runner_generate
+        return runner_generate(self, prompt_ids, max_new_tokens,
+                               temperature=temperature, top_p=top_p,
+                               top_k=top_k, min_new_tokens=min_new_tokens,
+                               eos_token_id=eos_token_id, seed=seed,
+                               stream=stream)
 
     def perplexity(self, test_ids, seqlen: int) -> float:
         """Streamed ppl eval (matches engine.evaluate semantics)."""
         test_ids = np.asarray(test_ids).reshape(-1)
         nsamples = len(test_ids) // seqlen
+        if nsamples == 0:
+            raise ValueError(
+                f"test stream has {len(test_ids)} tokens < seqlen {seqlen}")
         total = 0.0
         for i in range(nsamples):
             ids = test_ids[i * seqlen:(i + 1) * seqlen][None]

@@ -120,8 +120,10 @@ class ModelRunner:
         if fuse_qkv and hasattr(self.arch, "fuse_attention"):
             # load-time q/k/v concat (make_quant_attn equivalent): one packed
             # weight stream + one kernel launch replace three per layer
-            assert not (mesh is not None and shard_map_tp), \
-                "fuse_qkv: TP shards q/k/v separately (TP_RULES); unfused"
+            if mesh is not None and shard_map_tp:
+                raise ValueError(
+                    "fuse_qkv is incompatible with shard_map TP: TP_RULES "
+                    "shard q/k/v separately — load unfused for TP")
             params = self.arch.fuse_attention(params)
         self._tp = None
         if mesh is not None and shard_map_tp:
@@ -377,11 +379,15 @@ def sample_logits(logits, key, temperature, top_p, top_k: int = 0):
 
     t = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / t
-    if top_k and top_k > 0:
-        kth = jnp.sort(scaled, axis=-1)[:, -top_k][:, None]
-        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
-    # top-p: drop lowest-prob tail beyond cumulative p
+    # one descending sort serves both the top-k threshold and the top-p scan
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
+    if top_k and top_k > 0:
+        kth = sorted_logits[:, top_k - 1][:, None]
+        scaled = jnp.where(scaled < kth, -jnp.inf, scaled)
+        sorted_logits = jnp.where(
+            jnp.arange(sorted_logits.shape[-1])[None, :] >= top_k,
+            -jnp.inf, sorted_logits)
+    # top-p: drop lowest-prob tail beyond cumulative p
     probs = jax.nn.softmax(sorted_logits, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff_idx = jnp.sum(cum < top_p[:, None], axis=-1)  # keep one past boundary
@@ -412,6 +418,11 @@ def generate(runner: ModelRunner, prompt_ids, max_new_tokens: int,
     done = np.zeros(b, bool)
     for step in range(max_new_tokens):
         key, sub = jax.random.split(key)
+        if eos_token_id is not None and step < min_new_tokens:
+            # HF MinLengthLogitsProcessor semantics (the reference's
+            # model.generate path, llama_inference.py:120-127): EOS cannot
+            # be SAMPLED before min length, not merely ignored
+            last = last.at[:, eos_token_id].set(-jnp.inf)
         nxt = sample_logits(last, sub, temperature, top_p, top_k)
         nxt = np.asarray(nxt, np.int32)
         if eos_token_id is not None and step >= min_new_tokens:
@@ -451,7 +462,9 @@ def benchmark_decode(runner: ModelRunner, input_ids, check: bool = False,
         tok = jnp.asarray(ids[:, i:i + 1])
         t0 = time.perf_counter()
         logits, cache = runner.decode(tok, cache)
-        jax.block_until_ready(logits)
+        # host readback: block_until_ready can return early on the axon
+        # relay (CLAUDE.md); a tiny slice forces true completion
+        np.asarray(logits[:1, :1, :1])
         times.append(time.perf_counter() - t0)
         if check and i + 1 < n:
             lp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)

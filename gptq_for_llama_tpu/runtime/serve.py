@@ -130,8 +130,10 @@ class ServingEngine:
         if fuse_qkv and hasattr(self.arch, "fuse_attention"):
             # load-time q/k/v concat (make_quant_attn equivalent): one packed
             # weight stream + one kernel launch replace three per layer
-            assert not (mesh is not None and shard_map_tp), \
-                "fuse_qkv: TP shards q/k/v separately (TP_RULES); unfused"
+            if mesh is not None and shard_map_tp:
+                raise ValueError(
+                    "fuse_qkv is incompatible with shard_map TP: TP_RULES "
+                    "shard q/k/v separately — load unfused for TP")
             params = self.arch.fuse_attention(params)
         self._tp = None
         if mesh is not None and shard_map_tp:

@@ -237,3 +237,28 @@ def test_runner_fuse_qkv_matches_unfused():
     assert "qkv_proj" in r2.params["layers"][0]["self_attn"]
     out2 = generate(r2, prompt, 8, temperature=0.0)
     np.testing.assert_array_equal(out1, out2)
+
+
+def test_min_new_tokens_suppresses_eos():
+    """HF MinLengthLogitsProcessor semantics (the reference's generate path):
+    EOS cannot be SAMPLED before min_new_tokens — not merely ignored."""
+    from gptq_for_llama_tpu.models import registry
+    from gptq_for_llama_tpu.models.config import ModelConfig
+    from gptq_for_llama_tpu.runtime import ModelRunner, generate
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=8, max_seq_len=64)
+    arch = registry.get_arch("llama")
+    params = arch.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                         dtype=jnp.float32)
+    p = np.array([1, 2, 3], np.int32)
+    # find the greedy first token, then declare IT the eos: with
+    # min_new_tokens=3 it must not appear in the first 3 generated tokens
+    base = generate(runner, p, max_new_tokens=1, temperature=0.0)
+    eos = int(base[0, -1])
+    out = generate(runner, p, max_new_tokens=6, temperature=0.0,
+                   min_new_tokens=3, eos_token_id=eos)
+    gen = out[0, len(p):]
+    assert eos not in gen[:3].tolist()
