@@ -179,9 +179,19 @@ def save_packed(path: str, arch_name: str, cfg, params,
                     true_sequential=spec.true_sequential, desc_act=spec.act_order,
                     damp_percent=spec.percdamp)
     if quantizers:
+        # header reflects what the buffers actually are when uniform (e.g.
+        # --nearest records whole-row groups as -1 regardless of the spec);
+        # heterogeneous tensors get per_layer overrides
+        gss = {r.groupsize for r in quantizers.values()}
+        bss = {r.wbits for r in quantizers.values()}
+        if len(gss) == 1:
+            meta["group_size"] = next(iter(gss))
+        if len(bss) == 1:
+            meta["bits"] = next(iter(bss))
         per_layer = {k: {"bits": r.wbits, "group_size": r.groupsize}
                      for k, r in quantizers.items()
-                     if spec is None or r.wbits != spec.wbits or r.groupsize != spec.groupsize}
+                     if r.wbits != meta.get("bits")
+                     or r.groupsize != meta.get("group_size")}
         if per_layer:
             meta["per_layer"] = per_layer
     with open(os.path.join(path, "quantize_config.json"), "w") as f:
@@ -236,14 +246,17 @@ def export_quant_table(quantizers: dict[str, QuantRecord], quant_dir: str,
         np.save(os.path.join(quant_dir, scale_p), rec.scale.astype(np.float16))
         lines.append(f"[{name}]")
         lines.append(f'scale = "{scale_p}"')
-        zeros = rec.zero
-        if not np.allclose(zeros, zeros.flat[0]):  # asym: per-channel zeros
+        if not rec.sym:  # asym: the zero-point is part of the grid
+            # (gated on the RECORDED flag, like the reference export.py —
+            # asym zeros that happen to be uniform must still be written)
             zero_p = os.path.join(name, "zero.npy")
-            np.save(os.path.join(quant_dir, zero_p), zeros.astype(np.float16))
+            np.save(os.path.join(quant_dir, zero_p),
+                    rec.zero.astype(np.float16))
             lines.append(f'zero = "{zero_p}"')
         gid_p = os.path.join(name, "g_idx.npy")
         np.save(os.path.join(quant_dir, gid_p), rec.g_idx.astype(np.int32))
         lines.append(f'group_ids = "{gid_p}"')
+        lines.append(f"sym = {str(rec.sym).lower()}")
         lines.append(f"wbits = {rec.wbits}")
         if rec.groupsize != -1:
             lines.append(f"groupsize = {rec.groupsize}")

@@ -69,6 +69,7 @@ class QuantRecord(NamedTuple):
     wbits: int
     groupsize: int
     error: float
+    sym: bool = False      # affine symmetry flag (reference export.py dump)
 
 
 class ObserverEntry(NamedTuple):
@@ -131,18 +132,24 @@ def layer_linears(arch, lp) -> list[str]:
 # jitted building blocks (compiled once per run; shapes static across layers)
 # ---------------------------------------------------------------------------
 
-def _make_layer_fns(arch, cfg, group_names: tuple[str, ...]):
-    """(hessian-accumulate, forward) jitted fns for one sequential group."""
+def _make_layer_fns(arch, cfg, group_names: tuple[str, ...],
+                    with_taps: bool = False):
+    """(hessian-accumulate, forward) jitted fns for one sequential group.
+
+    with_taps: also return each linear's full fp32 activation matrix (the
+    --observe SNR probe input) — multi-GB jit outputs at 7B scale, so the
+    default path returns None there instead."""
 
     @partial(jax.jit, static_argnames=())
     def accum(lp, x, positions, mask, sums):
         _, taps, _ = arch.layer(cfg, lp, x, positions, mask)
         new_sums = {}
-        group_taps = {}
+        group_taps = {} if with_taps else None
         for name in group_names:
             t = taps[name].astype(jnp.float32)
             t2 = t.reshape(-1, t.shape[-1])
-            group_taps[name] = t2
+            if with_taps:
+                group_taps[name] = t2
             new_sums[name] = sums[name] + jnp.einsum(
                 "tc,td->cd", t2, t2, precision=jax.lax.Precision.HIGHEST)
         return new_sums, group_taps
@@ -163,14 +170,19 @@ def _quantize_one(w_t, h, spec: QuantizeSpec, wbits: int, groupsize: int):
         scale, zero = find_params_weight(w_t, cfg)
         q = fake_quantize(w_t, scale, zero, cfg)
         g = np.zeros(w_t.shape[1], dtype=np.int32)
-        rec = QuantRecord(np.asarray(scale), np.asarray(zero), g, wbits, groupsize,
-                          float(jnp.sum((q - w_t) ** 2)))
+        # record groupsize -1: the buffers really are ONE whole-row group —
+        # recording spec.groupsize would make the checkpoint metadata
+        # contradict the wire shapes (reference load_quant sizes buffers
+        # from the recorded groupsize)
+        rec = QuantRecord(np.asarray(scale), np.asarray(zero), g, wbits, -1,
+                          float(jnp.sum((q - w_t) ** 2)), sym=spec.sym)
         return q, rec
     res = gptq_quantize(w_t, h, cfg, blocksize=spec.blocksize,
                         percdamp=spec.percdamp, groupsize=groupsize,
                         actorder=spec.act_order)
     rec = QuantRecord(np.asarray(res.scale), np.asarray(res.zero),
-                      np.asarray(res.g_idx), wbits, groupsize, float(res.error))
+                      np.asarray(res.g_idx), wbits, groupsize,
+                      float(res.error), sym=spec.sym)
     return res.qweight, rec
 
 
@@ -200,24 +212,38 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
     ns, seqlen = windows.shape
     chunk = min(spec.chunk, ns)
     assert ns % chunk == 0, f"nsamples {ns} must divide by chunk {chunk}"
+    if resume_dir is not None and spec.observe:
+        raise ValueError(
+            "--observe with --resume-dir is unsupported: resumed layers "
+            "carry no retained Hessian, so the auto-upgrade pass would "
+            "silently exclude them from its ranking")
 
     shard_batch = lambda x: x
     if mesh is not None:
-        from jax.sharding import PartitionSpec as P
+        from jax.sharding import NamedSharding, PartitionSpec as P
         from ..parallel.distributed import put_global
         dp = mesh.shape.get("dp", 1)
         assert chunk % dp == 0, f"chunk {chunk} must divide by dp {dp}"
-        # put_global (not device_put): every host feeds the same full windows;
-        # each device materializes its dp shard — valid on multi-host meshes
-        shard_batch = lambda x: put_global(x, mesh, P("dp"))
+
+        def shard_batch(x):
+            # HOST batches (every process feeds the same full windows) go
+            # through put_global; DEVICE-global outputs of the layer
+            # propagation are resharded in place — put_global's np.asarray
+            # would fail on non-addressable multi-host arrays
+            if isinstance(x, np.ndarray):
+                return put_global(x, mesh, P("dp"))
+            return jax.device_put(x, NamedSharding(mesh, P("dp")))
     positions = jnp.arange(seqlen)[None, :]
     mask = causal_mask(seqlen, seqlen)
 
     dtype = get_path(params, "layers")[0]
     dtype = jax.tree_util.tree_leaves(dtype)[0].dtype
 
-    embed_fn = jax.jit(lambda ids: arch.embed(params, cfg, ids))
-    x = jnp.concatenate([embed_fn(shard_batch(windows[i:i + chunk]))
+    # params passed as an ARGUMENT: closing over them bakes the embedding
+    # table into the program as a constant (CLAUDE.md; ~262 MB at 7B)
+    embed_fn = jax.jit(lambda p, ids: arch.embed(p, cfg, ids))
+    statics = {k: v for k, v in params.items() if k != "layers"}
+    x = jnp.concatenate([embed_fn(statics, shard_batch(windows[i:i + chunk]))
                          for i in range(0, ns, chunk)], axis=0)
     x = shard_batch(x)
 
@@ -232,7 +258,7 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
         names_present = layer_linears(arch, lp)
 
         if resume_dir is not None and _load_layer_ckpt(resume_dir, li, lp,
-                                                       quantizers):
+                                                       quantizers, spec):
             # completed in a previous run: restore and propagate activations
             if verbose:
                 log(f"| layer {li:3d} | resumed from checkpoint |")
@@ -253,7 +279,8 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
         for group in groups:
             key = tuple(group)
             if key not in fwd_cache:
-                fwd_cache[key] = _make_layer_fns(arch, cfg, key)
+                fwd_cache[key] = _make_layer_fns(arch, cfg, key,
+                                                 with_taps=spec.observe)
             accum, _ = fwd_cache[key]
 
             cols = {n: get_path(lp, n)["kernel"].shape[0] for n in group}
@@ -297,7 +324,7 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
              for i in range(0, ns, chunk)], axis=0))
 
     if spec.quantize_lm_head:
-        _quantize_lm_head(arch, cfg, params, x, positions, spec, ns, chunk,
+        _quantize_lm_head(arch, cfg, params, x, spec, ns, chunk,
                           quantizers, verbose, log)
     if spec.observe:
         _auto_upgrade(arch, params, quantizers, observer, spec, verbose, log)
@@ -306,11 +333,12 @@ def quantize_model(arch_name: str, cfg, params, train_windows, spec: QuantizeSpe
     return params, quantizers, observer
 
 
-def _quantize_lm_head(arch, cfg, params, x, positions, spec, ns, chunk,
+def _quantize_lm_head(arch, cfg, params, x, spec, ns, chunk,
                       quantizers, verbose, log):
     """GPTQ the output head on the final-norm activations (opt-in; the
     reference never quantizes lm_head). Tied heads are skipped (the packed
     head could no longer share storage with the embedding)."""
+    from ..quant.gptq import batch_hessian
     key = "embed_out" if "embed_out" in params else "lm_head"
     lin = params.get(key)
     if not isinstance(lin, dict) or "kernel" not in lin:
@@ -321,13 +349,16 @@ def _quantize_lm_head(arch, cfg, params, x, positions, spec, ns, chunk,
         return
     t0 = time.time()
     kdim = lin["kernel"].shape[0]
-    head_in = jax.jit(lambda xa: arch.head_input(params, cfg, xa))
+    # params as jit ARGUMENT (CLAUDE.md: no baked constants); HIGHEST-precision
+    # Hessian accumulation shared with every layer (quant/gptq.batch_hessian)
+    statics = {k: v for k, v in params.items() if k != "layers"}
+    head_in = jax.jit(lambda p, xa: arch.head_input(p, cfg, xa))
+    # batch_hessian(a) = (2/chunk)*sum(x^T x); weight each chunk by chunk/ns
+    # so the sum is the full-set (2/ns)-normalized Hessian
+    hacc = jax.jit(lambda hh, a: hh + batch_hessian(a) * (chunk / ns))
     h = jnp.zeros((kdim, kdim), jnp.float32)
-    hacc = jax.jit(lambda hh, a: hh + jnp.einsum(
-        "bsk,bsl->kl", a.astype(jnp.float32), a.astype(jnp.float32)))
     for i in range(0, ns, chunk):
-        h = hacc(h, head_in(x[i:i + chunk]))
-    h = h * (2.0 / ns)
+        h = hacc(h, head_in(statics, x[i:i + chunk]))
     w_t = lin["kernel"].T.astype(jnp.float32)
     q, rec = _quantize_one(w_t, h, spec, spec.wbits, spec.groupsize)
     lin["kernel"] = q.T.astype(lin["kernel"].dtype)
@@ -390,13 +421,15 @@ def _save_layer_ckpt(resume_dir: str, li: int, lp, names, quantizers):
         payload[f"{name}/zero"] = rec.zero
         payload[f"{name}/g_idx"] = rec.g_idx
         payload[f"{name}/meta"] = np.asarray(
-            [rec.wbits, rec.groupsize, rec.error], np.float64)
+            [rec.wbits, rec.groupsize, rec.error, float(rec.sym)],
+            np.float64)
     tmp = _ckpt_path(resume_dir, li) + ".tmp.npz"  # .npz suffix: savez keeps it
     np.savez(tmp, **payload)
     os.replace(tmp, _ckpt_path(resume_dir, li))
 
 
-def _load_layer_ckpt(resume_dir: str, li: int, lp, quantizers) -> bool:
+def _load_layer_ckpt(resume_dir: str, li: int, lp, quantizers,
+                     spec=None) -> bool:
     import os
     path = _ckpt_path(resume_dir, li)
     if not os.path.exists(path):
@@ -408,9 +441,20 @@ def _load_layer_ckpt(resume_dir: str, li: int, lp, quantizers) -> bool:
         get_path(lp, name)["kernel"] = jnp.asarray(
             data[f"{name}/kernel"], dtype=kernel.dtype)
         meta = data[f"{name}/meta"]
-        quantizers[f"layers.{li}.{name}"] = QuantRecord(
+        rec = QuantRecord(
             data[f"{name}/scale"], data[f"{name}/zero"], data[f"{name}/g_idx"],
-            int(meta[0]), int(meta[1]), float(meta[2]))
+            int(meta[0]), int(meta[1]), float(meta[2]),
+            sym=bool(meta[3]) if len(meta) > 3 else False)
+        if spec is not None and (
+                rec.wbits != spec.wbits
+                or (not spec.nearest and rec.groupsize != spec.groupsize)
+                or rec.sym != spec.sym):
+            raise ValueError(
+                f"resume checkpoint layer {li} ({name}) was quantized with "
+                f"wbits={rec.wbits} groupsize={rec.groupsize} sym={rec.sym}, "
+                f"which differs from the current spec — point --resume-dir "
+                f"at a matching run or remove it")
+        quantizers[f"layers.{li}.{name}"] = rec
     return True
 
 

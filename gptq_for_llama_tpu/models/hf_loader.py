@@ -175,7 +175,9 @@ def _load_opt(m: _Mapper, cfg: ModelConfig):
         params["project_in"] = m.linear(f"{d}.project_in")
     if m.has(f"{d}.project_out.weight"):
         params["project_out"] = m.linear(f"{d}.project_out")
-    params["lm_head"] = (m.linear("lm_head") if m.has("lm_head.weight")
+    params["lm_head"] = (m.linear("lm_head")
+                         if m.has("lm_head.weight")
+                         or m.has("lm_head.qweight")  # packed untied head
                          else dense(embed.T))
     return params
 
