@@ -392,5 +392,8 @@ def row_parallel_apply(lin, x, tp_ctx):
 
 
 def activation(name: str):
-    return {"silu": jax.nn.silu, "relu": jax.nn.relu, "gelu": jax.nn.gelu,
+    # HF ACT2FN "gelu" is EXACT erf-GELU; jax.nn.gelu defaults to the tanh
+    # approximation (up to ~4e-4 apart) — NeoX/Pythia ship hidden_act="gelu"
+    return {"silu": jax.nn.silu, "relu": jax.nn.relu,
+            "gelu": lambda x: jax.nn.gelu(x, approximate=False),
             "gelu_new": jax.nn.gelu, "gelu_fast": jax.nn.gelu}[name]

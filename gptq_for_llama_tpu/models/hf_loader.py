@@ -80,7 +80,11 @@ class _Mapper:
     def linear(self, prefix):
         """Dense (weight (out,in) -> kernel (in,out)) or packed GPTQ linear."""
         if f"{prefix}.qweight" in self.flat:
-            bias = self.flat.get(f"{prefix}.bias")
+            # bias/scales go through _to_dtype like dense tensors (raw-bf16
+            # "V2" safetensors would otherwise fail the numpy float cast)
+            bias = (self.tensor(f"{prefix}.bias")
+                    if f"{prefix}.bias" in self.flat else None)
+            scales = np.asarray(self.tensor(f"{prefix}.scales", jnp.float32))
             # Per-tensor bits from shapes (qweight rows = K*bits/32) — supports
             # heterogeneous --observe checkpoints; metadata overrides if present.
             kdim = self.flat[f"{prefix}.g_idx"].shape[0]
@@ -88,8 +92,8 @@ class _Mapper:
             bits = self.meta_bits.get(prefix, shape_bits or self.default_bits)
             return PackedLinear.from_wire(
                 self.flat[f"{prefix}.qweight"], self.flat[f"{prefix}.qzeros"],
-                np.asarray(self.flat[f"{prefix}.scales"], dtype=np.float32),
-                self.flat[f"{prefix}.g_idx"], bits=bits, bias=bias, dtype=self.dtype)
+                scales, self.flat[f"{prefix}.g_idx"], bits=bits, bias=bias,
+                dtype=self.dtype)
         w = self.tensor(f"{prefix}.weight").T
         b = self.tensor(f"{prefix}.bias") if f"{prefix}.bias" in self.flat else None
         return dense(w, b)
@@ -118,7 +122,16 @@ def load_params(model_path: str, cfg: ModelConfig | None = None, dtype=jnp.bfloa
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             qc = json.load(f)
-        m.default_bits = int(qc.get("bits", m.default_bits))
+        if wbits is None:  # an explicit wbits argument wins over metadata
+            m.default_bits = int(qc.get("bits", m.default_bits))
+        # heterogeneous checkpoints (--observe): per-linear bits overrides
+        # written by engine/checkpoint.save_packed. per_layer keys are
+        # model-relative dotted paths; the flat state dict carries the HF
+        # prefix — map by dot-anchored suffix on each linear's g_idx key.
+        for name, over in qc.get("per_layer", {}).items():
+            for k in flat:
+                if k == f"{name}.g_idx" or k.endswith(f".{name}.g_idx"):
+                    m.meta_bits[k[:-len(".g_idx")]] = int(over["bits"])
 
     if cfg.arch == "llama":
         params = _load_llama(m, cfg)
@@ -199,9 +212,14 @@ def _load_neox(m: _Mapper, cfg: ModelConfig):
                 "dense_4h_to_h": m.linear(f"{p}.mlp.dense_4h_to_h"),
             },
         })
+    embed = m.tensor(f"{g}.embed_in.weight")
     return {
-        "embed_in": m.tensor(f"{g}.embed_in.weight"),
+        "embed_in": embed,
         "layers": layers,
         "final_layer_norm": m.norm(f"{g}.final_layer_norm"),
-        "embed_out": m.linear("embed_out"),
+        # tied-embedding checkpoints carry no embed_out.* keys
+        "embed_out": (m.linear("embed_out")
+                      if m.has("embed_out.weight")
+                      or m.has("embed_out.qweight")
+                      else dense(embed.T)),
     }

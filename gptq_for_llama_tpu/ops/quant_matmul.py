@@ -101,9 +101,7 @@ def fused_gate_up(gate, up, x, act: str):
                 and gate.perm is up.perm)
             if gate.perm is None or same_perm:
                 return pallas_mlp.fused_mlp_pallas(x, gate, up)
-    import jax
+    from ..models.common import activation
     g = linear_apply(gate, x)
     u = linear_apply(up, x)
-    fn = {"silu": jax.nn.silu, "relu": jax.nn.relu,
-          "gelu": jax.nn.gelu}.get(act, jax.nn.gelu)
-    return fn(g) * u
+    return activation(act)(g) * u
