@@ -58,25 +58,33 @@ class HostBuf:
 class PackedLinear:
     """Quantized linear parameters in device layout.
 
+    Device children (the jitted-step operands — everything compute reads):
     qweight: int32 (K*bits//32, N) — rows group-sorted (monotone groups).
-    qzeros:  int32 (G, N*bits//32) — stored zero-1 (reference offset); kept
-             only for exact wire-format save, never read by compute.
     scales:  (G, N) fp16/fp32/bf16.
     zeros:   (G, N) float — the effective dequant zero (unpacked qzeros + 1),
              precomputed at load so kernels skip the column-unpack + offset
              (integer-valued <= 2^bits, exact even in bf16).
-    g_idx:   int32 (K,) — original wire-format group ids (kept for save/export).
     perm:    int32 (K,) or None — input permutation applied to activations
              (x[..., perm]); None when g_idx was already monotone.
     bias:    (N,) or None.
-    Static: bits, groupsize, in_features, out_features.
+
+    HOST-side aux (HostBuf — never on device, never sharded, never in a jit
+    signature; kept only so to_wire/save round trips are byte-exact):
+    qzeros:      int32 (G_unpadded, N*bits//32), stored zero-1 (reference
+                 offset).
+    g_idx:       int32 (K,) original wire-format group ids.
+    scales_wire: fp16 (G_unpadded, N) original wire scales (the compute
+                 `scales` dtype — bf16 — cannot represent fp16 exactly).
+    All three may be None on shard-local TP params (not a save path).
+
+    Static: bits, groupsize, in_features, out_features, layout.
     """
 
     qweight: jax.Array
-    qzeros: jax.Array
+    qzeros: Optional[HostBuf]
     scales: jax.Array
     zeros: jax.Array
-    g_idx: jax.Array
+    g_idx: Optional[HostBuf]
     perm: Optional[jax.Array]
     bias: Optional[jax.Array]
     bits: int
@@ -86,25 +94,20 @@ class PackedLinear:
     # 'wire' = reference row-major nibble order; 'tpu' = group-local nibble
     # interleave so kernels unpack by concat (see quant/packing.py TPU layout)
     layout: str = "wire"
-    # original wire-precision fp16 scales, UNPADDED (G, N), HOST-side
-    # (HostBuf, rides in pytree aux — never on device) — compute never
-    # reads this; to_wire returns it so a load->save round trip is
-    # byte-identical even when the compute `scales` dtype (bf16) cannot
-    # represent fp16 exactly. None on shard-local TP params (not a save path).
     scales_wire: Optional[HostBuf] = None
 
     def tree_flatten(self):
-        children = (self.qweight, self.qzeros, self.scales, self.zeros,
-                    self.g_idx, self.perm, self.bias)
+        children = (self.qweight, self.scales, self.zeros, self.perm,
+                    self.bias)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features,
-               self.layout, self.scales_wire)
+               self.layout, self.qzeros, self.g_idx, self.scales_wire)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        qweight, qzeros, scales, zeros, g_idx, perm, bias = children
+        qweight, scales, zeros, perm, bias = children
         (bits, groupsize, in_features, out_features, layout,
-         scales_wire) = aux
+         qzeros, g_idx, scales_wire) = aux
         return cls(qweight, qzeros, scales, zeros, g_idx, perm, bias,
                    bits, groupsize, in_features, out_features, layout,
                    scales_wire)
@@ -168,10 +171,10 @@ class PackedLinear:
 
         return cls(
             qweight=jnp.asarray(qweight),
-            qzeros=jnp.asarray(qzeros),
+            qzeros=HostBuf(qzeros),
             scales=jnp.asarray(scales, dtype=dtype),
             zeros=jnp.asarray(zeros, dtype=dtype),
-            g_idx=jnp.asarray(g_idx),
+            g_idx=HostBuf(g_idx),
             perm=None if perm is None else jnp.asarray(perm),
             bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
@@ -198,7 +201,10 @@ class PackedLinear:
                     a.perm is not None and not bool(jnp.all(a.perm == b.perm))):
                 raise ValueError("fuse: differing input permutations")
         qweight = jnp.concatenate([l.qweight for l in linears], axis=1)
-        qzeros = jnp.concatenate([l.qzeros for l in linears], axis=1)
+        qzeros = None
+        if all(l.qzeros is not None for l in linears):
+            qzeros = HostBuf(np.concatenate(
+                [l.qzeros.arr for l in linears], axis=1))
         scales = jnp.concatenate([l.scales for l in linears], axis=1)
         zeros = jnp.concatenate([l.zeros for l in linears], axis=1)
         have_bias = [l.bias is not None for l in linears]
@@ -241,11 +247,15 @@ class PackedLinear:
         scales = (np.asarray(self.scales_wire.arr, dtype=np.float16)
                   if self.scales_wire is not None
                   else np.asarray(self.scales, dtype=np.float16))
+        if self.qzeros is None or self.g_idx is None:
+            raise ValueError(
+                "to_wire: this PackedLinear carries no wire buffers "
+                "(shard-local TP params are not a save path)")
         out = {
             "qweight": qweight,
-            "qzeros": np.asarray(self.qzeros),
+            "qzeros": np.asarray(self.qzeros.arr),
             "scales": scales[:g],
-            "g_idx": np.asarray(self.g_idx),
+            "g_idx": np.asarray(self.g_idx.arr),
         }
         if self.bias is not None:
             out["bias"] = np.asarray(self.bias, dtype=np.float16)

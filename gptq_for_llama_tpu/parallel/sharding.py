@@ -14,11 +14,11 @@ Scheme (Megatron-style, per decoder layer):
     dense/dense_4h_to_h                           -> psum back to replicated
   lm_head: column-parallel over vocab; embeddings/norms replicated.
 
-PackedLinear buffer axes (see ops/linear.py):
+PackedLinear buffer axes (see ops/linear.py; qzeros/g_idx/scales_wire live in
+host-side pytree aux and are never sharded):
   qweight (K*bits/32, N): col -> shard axis 1, row -> shard axis 0
-  qzeros  (G, N*bits/32): col -> shard axis 1, row -> shard axis 0
-  scales  (G, N):         col -> shard axis 1, row -> shard axis 0
-  g_idx/perm (K,):        col -> replicated,   row -> shard axis 0
+  scales/zeros (G, N):    col -> shard axis 1, row -> shard axis 0
+  perm (K,):              replicated (indexes the pre-shard activation)
 Divisibility: col needs N % (tp * 32/bits) == 0; row needs K % (tp * 32) == 0
 (keeps 3-bit three-word packs intact at shard boundaries).
 """
@@ -96,12 +96,10 @@ def shard_packed_linear(lin: PackedLinear, mesh: Mesh, mode: str,
     tp = mesh.shape[axis]
     if mode == "col":
         _check_div("qweight.N", lin.qweight.shape[1], tp)
-        _check_div("qzeros.cols", lin.qzeros.shape[1], tp)
+        _check_div("scales.N", lin.scales.shape[1], tp)
         qweight = _shard(mesh, lin.qweight, P(None, axis))
-        qzeros = _shard(mesh, lin.qzeros, P(None, axis))
         scales = _shard(mesh, lin.scales, P(None, axis))
         zeros = _shard(mesh, lin.zeros, P(None, axis))
-        g_idx = _shard(mesh, lin.g_idx, P(None))
         perm = None if lin.perm is None else _shard(mesh, lin.perm, P(None))
         bias = None if lin.bias is None else _shard(mesh, lin.bias, P(axis))
     elif mode == "row":
@@ -110,17 +108,15 @@ def shard_packed_linear(lin: PackedLinear, mesh: Mesh, mode: str,
         qweight = _shard(mesh, lin.qweight, P(axis, None))
         # group dim G may be < tp (small models / groupsize=-1): replicate then
         gspec = P(axis, None) if lin.scales.shape[0] % tp == 0 else P(None, None)
-        qzeros = _shard(mesh, lin.qzeros, gspec)
         scales = _shard(mesh, lin.scales, gspec)
         zeros = _shard(mesh, lin.zeros, gspec)
-        g_idx = _shard(mesh, lin.g_idx, P(axis))
         # perm indexes the K axis of x (pre-shard gather): replicate
         perm = None if lin.perm is None else _shard(mesh, lin.perm, P(None))
         bias = None if lin.bias is None else _shard(mesh, lin.bias, P(None))
     else:
         raise ValueError(mode)
-    return PackedLinear(qweight, qzeros, scales, zeros, g_idx, perm, bias,
-                        lin.bits, lin.groupsize, lin.in_features,
+    return PackedLinear(qweight, lin.qzeros, scales, zeros, lin.g_idx, perm,
+                        bias, lin.bits, lin.groupsize, lin.in_features,
                         lin.out_features, lin.layout, lin.scales_wire)
 
 
@@ -166,13 +162,15 @@ def shard_model_params(arch_name: str, cfg, params, mesh: Mesh,
             continue
         if key == "lm_head" or key == "embed_out":
             out[key] = _shard_linear(val, mesh, "col", axis)
-        elif key in ("project_in", "project_out"):
-            out[key] = shard_tree(val)
         else:
             out[key] = shard_tree(val)
 
     layers = []
     for lp in params["layers"]:
+        if "self_attn" in lp and "qkv_proj" in lp.get("self_attn", {}):
+            raise ValueError(
+                "jit-sharding TP requires unfused q/k/v projections "
+                "(TP_RULES shard them separately); load without fuse_qkv")
         new_lp = jax.tree_util.tree_map(lambda x: x, lp)  # shallow-ish copy
         handled = set()
         for name, mode in rules.items():
@@ -197,10 +195,19 @@ def shard_model_params(arch_name: str, cfg, params, mesh: Mesh,
 
 
 def shard_cache(cache, mesh: Mesh, axis: str = "tp"):
-    """KV cache sharded over heads (axis 3 of (L, B, S, Hkv, D))."""
+    """KV cache sharded over heads: stacked (L, B, S, Hkv, D) arrays or the
+    per-layer (B, S, Hkv, D) tuples of unrolled-layers mode (the runner's
+    TPU default)."""
     from ..runtime.runner import KVCache
     tp = mesh.shape[axis]
-    spec = P(None, None, None, axis, None) if cache.k.shape[3] % tp == 0 \
-        else P(None, None, None, None, None)
-    return KVCache(_shard(mesh, cache.k, spec), _shard(mesh, cache.v, spec),
+
+    def place(c):
+        if isinstance(c, tuple):
+            return tuple(place(x) for x in c)
+        hk = c.shape[-2]
+        spec = P(*(None,) * (c.ndim - 2), axis, None) if hk % tp == 0 \
+            else P(*(None,) * c.ndim)
+        return _shard(mesh, c, spec)
+
+    return KVCache(place(cache.k), place(cache.v),
                    _shard(mesh, cache.offset, P()))

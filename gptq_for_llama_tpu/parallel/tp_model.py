@@ -120,19 +120,17 @@ def _lin_specs(lin, mode: str, axis: str, lead: int):
     leading (stacked-layer) dims are replicated."""
     L = (None,) * lead
     if isinstance(lin, PackedLinear):
-        # (wire-precision scales live in pytree aux on the host — they ride
-        # along untouched and need no spec)
+        # (qzeros/g_idx/scales_wire live in pytree aux on the host — they
+        # ride along untouched and need no spec)
         if mode == "col":
             spec2 = P(*L, None, axis)
             return dataclasses.replace(
-                lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
-                g_idx=P(*L, None),
+                lin, qweight=spec2, scales=spec2, zeros=spec2,
                 perm=None if lin.perm is None else P(*L, None),
                 bias=None if lin.bias is None else P(*L, axis))
         spec2 = P(*L, axis, None)
         return dataclasses.replace(
-            lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
-            g_idx=P(*L, None),
+            lin, qweight=spec2, scales=spec2, zeros=spec2,
             perm=None if lin.perm is None else P(*L, axis),
             bias=None if lin.bias is None else P(*L, None))
     # dense dict
@@ -212,6 +210,15 @@ def localize_step_params(arch_name: str, sp: dict, tp: int) -> dict:
     elif sp.get("layers"):
         sp["layers"] = [localize_layer_aux(arch_name, lp, tp)
                         for lp in sp["layers"]]
+    # a PACKED (quantized) lm_head/embed_out is col-sharded by step_specs:
+    # its static out_features must match the local vocab shard too
+    statics = dict(sp["statics"])
+    for key in ("lm_head", "embed_out"):
+        lin = statics.get(key)
+        if isinstance(lin, PackedLinear):
+            statics[key] = dataclasses.replace(
+                lin, out_features=lin.out_features // tp)
+    sp["statics"] = statics
     return sp
 
 

@@ -40,12 +40,11 @@ def _lin_specs(lin: PackedLinear, mode: str, axis: str):
     """PartitionSpec pytree matching PackedLinear's structure (a PackedLinear
     whose array fields hold specs — same treedef, spec leaves)."""
     if mode == "col":
-        spec2, g_spec, b_spec = P(None, axis), P(None), P(axis)
+        spec2, b_spec = P(None, axis), P(axis)
     else:
-        spec2, g_spec, b_spec = P(axis, None), P(axis), P(None)
+        spec2, b_spec = P(axis, None), P(None)
     return dataclasses.replace(
-        lin, qweight=spec2, qzeros=spec2, scales=spec2, zeros=spec2,
-        g_idx=g_spec,
+        lin, qweight=spec2, scales=spec2, zeros=spec2,
         perm=None if lin.perm is None else P(None),
         bias=None if lin.bias is None else b_spec)
 
@@ -64,6 +63,15 @@ def tp_quant_matmul(x, lin: PackedLinear, mesh: Mesh, mode: str,
         raise ValueError(
             f"row-parallel shard_map needs groups ({lin.scales.shape[0]}) "
             f"divisible by tp ({n_shards})")
+    if mode == "row" and (lin.perm is not None
+                          or lin.k_padded != lin.in_features):
+        # act-order and K-padded rows need a device-row index map
+        # (parallel/tp_model._prepare_row_linear does this for the
+        # whole-step runner); the plain per-op path does not support them
+        raise NotImplementedError(
+            "tp_quant_matmul row mode does not support act-order or "
+            "K-padded weights — use the shard_map TP runner "
+            "(parallel/tp_model) instead")
     local = partial(_local_lin, n_shards=n_shards, mode=mode)
 
     if mode == "col":

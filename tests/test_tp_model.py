@@ -203,3 +203,29 @@ def test_shard_map_tp_unrolled_runner():
     got_logits, got_toks = _run_steps(tpr, ids)
     np.testing.assert_array_equal(got_toks, want_toks)
     np.testing.assert_allclose(got_logits, want_logits, atol=3e-4, rtol=1e-3)
+
+
+def test_shard_map_tp_k_padded_row_parallel():
+    """Regression: shard_map TP on a K-PADDED row-parallel weight (the 7B
+    down_proj shape class: groups not a multiple of 8, so from_wire pads K;
+    save-only buffers must not take sharded specs that only the padded
+    device buffers satisfy)."""
+    # intermediate=480, gs=32: 15 groups -> padded to 16 (kp=512)
+    cfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=480, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=32, max_seq_len=64)
+    params = _build("llama", cfg)
+    down = params["layers"][0]["mlp"]["down_proj"]
+    assert down.k_padded != down.in_features, "test must hit the K-pad path"
+    ids = jnp.asarray((np.arange(16) % cfg.vocab_size)[None].astype(np.int32))
+
+    base = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                       dtype=jnp.float32)
+    want_logits, want_toks = _run_steps(base, ids)
+
+    mesh = make_mesh(tp=4, dp=1)
+    tpr = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=32,
+                      dtype=jnp.float32, mesh=mesh, shard_map_tp=True)
+    got_logits, got_toks = _run_steps(tpr, ids)
+    np.testing.assert_array_equal(got_toks, want_toks)
+    np.testing.assert_allclose(got_logits, want_logits, atol=3e-4, rtol=1e-3)
