@@ -61,12 +61,13 @@ def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
         qweight = rng.randint(-2**31, 2**31, size=(kp * 4 // 32, n),
                               dtype=np.int32)
         scales = (rng.rand(g, n).astype(np.float32) * 0.004 + 0.001)
+        from gptq_for_llama_tpu.ops.linear import HostBuf
         lin = PackedLinear(
             qweight=jnp.asarray(qweight),
-            qzeros=jnp.zeros((k // groupsize, n * 4 // 32), jnp.int32),
+            qzeros=HostBuf(np.zeros((k // groupsize, n * 4 // 32), np.int32)),
             scales=jnp.asarray(scales, dtype=dtype),
             zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), dtype=dtype),
-            g_idx=jnp.asarray((np.arange(k) // groupsize).astype(np.int32)),
+            g_idx=HostBuf((np.arange(k) // groupsize).astype(np.int32)),
             perm=None, bias=None, bits=4, groupsize=groupsize,
             in_features=k, out_features=n, layout="tpu")
         shape_cache[(k, n)] = lin
