@@ -108,6 +108,9 @@ def _quantize_block(w1, hinv1, scale, zero, maxq: int, seg_lo: int, seg_hi: int)
         hrow = jax.lax.dynamic_slice_in_dim(hinv1, i, 1, axis=0)    # (1, count)
         upd = e * jnp.where(col_ids >= i, hrow, 0.0)                # masked w1[:, i:]
         w1 = w1 - upd
+        # store q VERBATIM like the reference's Q1[:, i] = q: the rank-1
+        # update leaves w - ((w-q)/d)*d, which can sit 1 ulp off the grid
+        w1 = jax.lax.dynamic_update_slice_in_dim(w1, q, i, axis=1)
         err1 = jax.lax.dynamic_update_slice_in_dim(err1, e, i, axis=1)
         losses1 = jax.lax.dynamic_update_slice_in_dim(losses1, e * e, i, axis=1)
         return w1, err1, losses1
@@ -205,11 +208,10 @@ def gptq_quantize(w, h, cfg: QuantConfig, blocksize: int = 128,
         q_full = q_full[:, invperm]
         g_idx = g_idx[invperm]
 
+    # find_params_weight already returns (rows, 1) in both perchannel and
+    # per-tensor modes, so the concatenation is (rows, G) directly
     scale_all = jnp.concatenate(scales, axis=1)
     zero_all = jnp.concatenate(zeros, axis=1)
-    # Broadcast per-tensor (perchannel=False) params up to (rows, G).
-    scale_all = jnp.broadcast_to(scale_all, (rows, num_groups))
-    zero_all = jnp.broadcast_to(zero_all, (rows, num_groups))
     return GPTQResult(q_full, scale_all, zero_all, g_idx, total_loss)
 
 

@@ -19,8 +19,13 @@ Packing here is fully vectorized numpy (the reference loops per row in Python,
 quant_linear.py:342-371) plus jnp equivalents for on-device unpacking.
 
 Note on the zero==0 edge: the reference stores ``zero - 1`` in uint32 so an asymmetric
-zero-point of 0 wraps to ``maxq`` and dequantizes as ``maxq + 1``. We reproduce that
-behavior exactly for checkpoint parity (it only arises for all-non-negative rows).
+zero-point of 0 wraps and dequantizes as ``maxq + 1``; we reproduce that dequant value
+for the wrapped slot. One DELIBERATE divergence: the reference's unmasked OR also smears
+the wrap's high bits into neighboring slots of the same word, corrupting up to 10 other
+channels' zero-points — we mask every code to its bit width, so only the wrapped slot is
+affected. Byte parity holds whenever no zero-point is 0 (production quantization uses
+wire_safe zero clamping, and the reference itself produces zero==0 only for
+all-non-negative rows).
 """
 
 from __future__ import annotations
@@ -53,7 +58,10 @@ def pack_rows(codes: np.ndarray, bits: int) -> np.ndarray:
     if bits == 3:
         if k % 32 != 0:
             raise ValueError(f"3-bit packing needs K % 32 == 0, got {k}")
-        v = codes.reshape(-1, 32, *codes.shape[1:])
+        # mask each code to 3 bits FIRST — an out-of-range code (e.g. the
+        # zeros-1 uint wrap) must corrupt only its own slot, not smear ones
+        # across up to 10 neighbors in the word
+        v = codes.reshape(-1, 32, *codes.shape[1:]) & 0x7
         w0 = np.zeros_like(v[:, 0])
         for j in range(10):
             w0 |= v[:, j] << (3 * j)
@@ -174,9 +182,17 @@ def gather_rows_packed(packed: np.ndarray, perm: np.ndarray,
     interleave, act-order sort, and their inverses). C++ one-pass fast path
     (native/packlib.cpp gather_rows_packed — ~15x over unpack/index/repack,
     the CPU bottleneck of loading multi-GB checkpoints); numpy fallback.
+
+    perm must be FULL-LENGTH (a permutation of all K code rows): the numpy
+    fallback and the C++ path disagree on partial selections (truncation vs
+    uninitialized tail), so reject them up front.
     """
     perm = np.asarray(perm, np.int32)
     k = perm.shape[0]
+    if k * bits != np.asarray(packed).shape[0] * 32:
+        raise ValueError(
+            f"gather_rows_packed needs a full-length permutation: perm has "
+            f"{k} rows, packed holds {np.asarray(packed).shape[0] * 32 // bits}")
     if bits != 3 and k % (32 // bits) == 0:
         from .. import native
         out = native.gather_rows_packed(packed, perm, bits)

@@ -108,7 +108,7 @@ def _mse_refine(x2d, xmin, xmax, scale, zero, cfg: QuantConfig):
         xmax1 = p * xmax
         scale1 = (xmax1 - xmin1) / maxq
         zero1 = zero if cfg.sym else jnp.round(-xmin1 / scale1)
-        if not cfg.sym and cfg.wire_safe:
+        if not cfg.sym and cfg.wire_safe and maxq >= 0:
             zero1 = jnp.clip(zero1, 1.0, float(maxq))
         q = quantize_affine(x2d, scale1[:, None], zero1[:, None], maxq)
         err = jnp.sum(jnp.abs(q - x2d) ** cfg.norm, axis=1)
@@ -138,7 +138,9 @@ def find_params_weight(w, cfg: QuantConfig):
 
     xmin, xmax = _minmax_ranges(x2d, cfg.sym)
     scale, zero = _params_from_range(xmin, xmax, cfg)
-    if cfg.mse and cfg.maxq >= 0:
+    if cfg.mse:
+        # the reference runs the shrink loop for trits (maxq=-1) too, with
+        # the same formulas (quantizer.py:76-93)
         scale, zero = _mse_refine(x2d, xmin, xmax, scale, zero, cfg)
     if not cfg.perchannel:
         scale = jnp.broadcast_to(scale, (rows,))
@@ -161,7 +163,9 @@ def find_params_activation(x, cfg: QuantConfig):
 
     xmin, xmax = _minmax_ranges(x2d, cfg.sym)
     scale, zero = _params_from_range(xmin, xmax, cfg)
-    if cfg.mse and cfg.maxq >= 0:
+    if cfg.mse:
+        # the reference runs the shrink loop for trits (maxq=-1) too, with
+        # the same formulas (quantizer.py:76-93)
         scale, zero = _mse_refine(x2d, xmin, xmax, scale, zero, cfg)
     if not cfg.perchannel:
         scale = jnp.broadcast_to(scale, (feat,))

@@ -28,13 +28,15 @@ void pack_rows(const uint32_t* codes, uint32_t* out, int64_t k, int64_t n,
       uint32_t* dst = out + b * 3 * n;
       for (int64_t col = 0; col < n; ++col) {
         uint32_t w0 = 0, w1 = 0, w2 = 0;
-        for (int j = 0; j < 10; ++j) w0 |= src[j * n + col] << (3 * j);
-        w0 |= (src[10 * n + col] & 0x3u) << 30;
-        w1 = src[10 * n + col] >> 2;
-        for (int j = 0; j < 10; ++j) w1 |= src[(11 + j) * n + col] << (3 * j + 1);
-        w1 |= (src[21 * n + col] & 0x1u) << 31;
-        w2 = src[21 * n + col] >> 1;
-        for (int j = 0; j < 10; ++j) w2 |= src[(22 + j) * n + col] << (3 * j + 2);
+        // mask to 3 bits first: out-of-range codes must not smear neighbors
+        auto c3 = [&](int j) { return src[j * n + col] & 0x7u; };
+        for (int j = 0; j < 10; ++j) w0 |= c3(j) << (3 * j);
+        w0 |= (c3(10) & 0x3u) << 30;
+        w1 = c3(10) >> 2;
+        for (int j = 0; j < 10; ++j) w1 |= c3(11 + j) << (3 * j + 1);
+        w1 |= (c3(21) & 0x1u) << 31;
+        w2 = c3(21) >> 1;
+        for (int j = 0; j < 10; ++j) w2 |= c3(22 + j) << (3 * j + 2);
         dst[col] = w0;
         dst[n + col] = w1;
         dst[2 * n + col] = w2;
