@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -115,11 +116,14 @@ def _kv_dtype(name):
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.fuse_attn and args.tp is not None:
+    tp_on = bool(args.tp and args.tp > 1)  # --tp 1 never builds a mesh
+    if args.fuse_attn and tp_on:
         parser.error("--fuse-attn is incompatible with --tp: shard_map TP "
                      "shards q/k/v separately (TP_RULES)")
+    if args.pre_layer is not None and (tp_on or args.fuse_attn):
+        parser.error("--pre-layer (offloaded generation) supports neither "
+                     "--tp nor --fuse-attn")
     if args.distributed:
-        import os
         from ..parallel.distributed import initialize
         os.environ.setdefault("GPTQ_TPU_DISTRIBUTED", "1")
         initialize()
@@ -167,15 +171,37 @@ def main(argv=None):
                 resume_dir=args.resume_dir, mesh=qmesh)
         print(f"quantized in {time.time() - tq:.1f}s")
 
-    if args.quant_directory and quantizers:
-        export_quant_table(quantizers, args.quant_directory)
-        print(f"quant table exported to {args.quant_directory}")
+    if args.quant_directory:
+        if quantizers:
+            export_quant_table(quantizers, args.quant_directory)
+            print(f"quant table exported to {args.quant_directory}")
+        else:
+            print("WARNING: --quant-directory ignored — no quantization ran "
+                  "this invocation (quant params are not recoverable from a "
+                  "packed checkpoint alone)")
 
-    if args.save and quantizers:
-        with timer.phase("pack+save"):
-            params = pack_model(cfg.arch, cfg, params, quantizers)
-            save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
-        print(f"packed checkpoint saved to {args.save}")
+    if args.save:
+        if quantizers:
+            with timer.phase("pack+save"):
+                params = pack_model(cfg.arch, cfg, params, quantizers)
+                save_packed(args.save, cfg.arch, cfg, params, quantizers, spec)
+            print(f"packed checkpoint saved to {args.save}")
+        elif args.load:
+            # re-export a LOADED packed checkpoint: to_wire round trips are
+            # byte-exact, so this is a faithful copy/convert path. The
+            # original quantize_config (not this invocation's flags)
+            # describes the buffers — carry it over verbatim.
+            import shutil
+            with timer.phase("pack+save"):
+                save_packed(args.save, cfg.arch, cfg, params, None, None)
+                src_qc = os.path.join(args.load, "quantize_config.json")
+                if os.path.exists(src_qc):
+                    shutil.copy(src_qc, os.path.join(
+                        args.save, "quantize_config.json"))
+            print(f"packed checkpoint re-exported to {args.save}")
+        else:
+            print("WARNING: --save ignored — nothing was quantized "
+                  "(use --wbits < 16, --nearest, or --load)")
 
     # --tp: eval (prefill-shaped) runs on jit-sharded params; the decode paths
     # (benchmark / generation) use the shard_map whole-step TP runner so the
@@ -209,18 +235,21 @@ def main(argv=None):
 
     if args.benchmark:
         from ..runtime import ModelRunner, benchmark_decode
-        _, test = get_loaders(
-            args.dataset, seed=args.seed, seqlen=seqlen,
+        # the reference benchmarks the FIRST seeded calibration window
+        # (llama.py:497-499: next(iter(dataloader))), so --check ppl is
+        # comparable run-to-run and against the reference pipeline
+        train, _ = get_loaders(
+            args.dataset, nsamples=1, seed=args.seed, seqlen=seqlen,
             model=args.model if args.dataset != "synthetic" else cfg)
-        n = min(args.benchmark, len(np.asarray(test).reshape(-1)))
+        stream = np.asarray(train).reshape(-1)
+        n = min(args.benchmark, len(stream))
         with timer.phase("benchmark"), trace():
             runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
                                  max_seq_len=max(n, 32),
                                  mesh=mesh, shard_map_tp=mesh is not None,
                                  fuse_qkv=args.fuse_attn,
                                  kv_dtype=_kv_dtype(args.kv_dtype))
-            res = benchmark_decode(runner,
-                                   np.asarray(test).reshape(-1)[:n][None],
+            res = benchmark_decode(runner, stream[:n][None],
                                    check=args.check)
         print(json.dumps(res))
 

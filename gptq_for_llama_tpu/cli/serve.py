@@ -83,9 +83,25 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
-    if args.fuse_attn and args.tp is not None:
+    if args.fuse_attn and args.tp and args.tp > 1:
         parser.error("--fuse-attn is incompatible with --tp: shard_map TP "
                      "shards q/k/v separately (TP_RULES)")
+    if not args.prompts and not args.demo:
+        parser.error("need --prompts FILE or --demo N")
+    try:
+        buckets = tuple(sorted(int(b) for b in
+                               args.buckets.split(",") if b.strip()))
+    except ValueError:
+        parser.error(f"--buckets must be comma-separated ints, "
+                     f"got {args.buckets!r}")
+    if not buckets:
+        parser.error("--buckets is empty")
+    prompt_lines = None
+    if args.prompts:  # validate BEFORE the (minutes-long) checkpoint load
+        with open(args.prompts) as f:
+            prompt_lines = [l.rstrip("\n") for l in f if l.strip()]
+        if not prompt_lines:
+            parser.error(f"--prompts {args.prompts}: no non-empty lines")
     if args.distributed:
         import os
         from ..parallel.distributed import initialize
@@ -111,21 +127,16 @@ def main(argv=None):
         from transformers import AutoTokenizer
         tokenizer = AutoTokenizer.from_pretrained(args.model)
         eos = tokenizer.eos_token_id
-        with open(args.prompts) as f:
-            lines = [l.rstrip("\n") for l in f if l.strip()]
         prompts = [np.asarray(tokenizer(l)["input_ids"], np.int32)
-                   for l in lines]
-    elif args.demo:
+                   for l in prompt_lines]
+    else:
         rng = np.random.RandomState(args.seed)
         prompts = [rng.randint(1, cfg.vocab_size,
                                size=(args.demo_prompt_len,)).astype(np.int32)
                    for _ in range(args.demo)]
-    else:
-        build_parser().error("need --prompts FILE or --demo N")
 
     mesh = None
     if args.tp and args.tp > 1:
-        import jax
         from ..parallel.sharding import make_mesh
         mesh = make_mesh(tp=args.tp, dp=1)
         log(f"shard_map TP over mesh {dict(mesh.shape)}")
@@ -138,7 +149,7 @@ def main(argv=None):
         max_seq_len=max_len, paged=args.paged, block_size=args.block_size,
         num_blocks=args.num_blocks, prefill_chunk=args.prefill_chunk,
         decode_span=args.span,
-        prefill_buckets=tuple(int(b) for b in args.buckets.split(",")),
+        prefill_buckets=buckets,
         mesh=mesh, shard_map_tp=mesh is not None, fuse_qkv=args.fuse_attn,
         kv_dtype=_kv_dtype(args.kv_dtype))
     for uid, prompt in enumerate(prompts):
