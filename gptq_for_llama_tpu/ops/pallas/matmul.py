@@ -113,15 +113,45 @@ _QW_TILE_BYTES = 4 * 1024 * 1024
 _TARGET_TILE = 512 * 1024
 
 
-def _tile_plan(k: int, n: int, groupsize: int, bits: int):
-    """Returns (bk, groups_per_tile) or None if unsupported."""
+def _tile_plan(k: int, n: int, groupsize: int, bits: int,
+               n_weights: int = 1):
+    """Returns (bk, groups_per_tile) or None if unsupported.
+
+    n_weights: packed streams fetched per grid step (2 for the fused MLP) —
+    the full-K budget must cover ALL of them."""
     g = k // groupsize
     if g % 8 == 0 and k % (8 * groupsize) == 0:
         return 8 * groupsize, 8
     # full-K single tile: scale block = full G rows (any size allowed)
-    if (k * bits // 32) * 256 * 4 <= _QW_TILE_BYTES * 2:
+    if (k * bits // 32) * 256 * 4 * n_weights <= _QW_TILE_BYTES * 2:
         return k, g
     return None
+
+
+def _select_blocks(m: int, k: int, n: int, groupsize: int, bits: int,
+                   n_weights: int = 1, block_n=None, block_groups=None):
+    """(bm, bn, bk, gpt) for one dequant-GEMM invocation: static tile plan ->
+    heuristic widening toward the overhead-optimal tile -> explicit
+    (autotuner/benchmark) overrides -> M/N block picks. The single source of
+    truth shared by _qmm_2d, _qmm_t_2d, and the fused MLP kernel."""
+    g = k // groupsize
+    plan = _tile_plan(k, n, groupsize, bits, n_weights)
+    assert plan is not None, "caller must check supports()"
+    bk, gpt = plan
+    bn = None
+    if gpt != g:  # tiled plan: widen toward the overhead-optimal tile size
+        tuned = _best_blocks(k, n, groupsize, bits, n_weights=n_weights)
+        if tuned is not None:
+            gpt, bn = tuned
+            bk = gpt * groupsize
+    if block_groups is not None and k % (block_groups * groupsize) == 0:
+        gpt = block_groups
+        bk = block_groups * groupsize
+    if block_n is not None:
+        bn = block_n
+    bm = _pick_block(m, 256, 8)
+    bn = _pick_block(n, bn or 256, 128)
+    return bm, bn, bk, gpt
 
 
 def _ranked_blocks(k: int, n: int, groupsize: int, bits: int,
@@ -190,24 +220,9 @@ def _qmm_2d(x, qweight, scales, zeros_scaled, bits: int, groupsize: int,
     """
     m, k = x.shape
     n = qweight.shape[1]
-    g = k // groupsize
-
-    plan = _tile_plan(k, n, groupsize, bits)
-    assert plan is not None, "caller must check supports()"
-    bk, gpt = plan
-    bn = None
-    if gpt != g:  # tiled plan: widen toward the overhead-optimal tile size
-        tuned = _best_blocks(k, n, groupsize, bits)
-        if tuned is not None:
-            gpt, bn = tuned
-            bk = gpt * groupsize
-    if block_groups is not None and k % (block_groups * groupsize) == 0:
-        gpt = block_groups
-        bk = block_groups * groupsize
-    bm = _pick_block(m, 256, 8)
-    if block_n is not None:
-        bn = block_n
-    bn = _pick_block(n, bn or 256, 128)
+    bm, bn, bk, gpt = _select_blocks(m, k, n, groupsize, bits,
+                                     block_n=block_n,
+                                     block_groups=block_groups)
 
     grid = (m // bm, n // bn, k // bk)
     kernel = functools.partial(_qmm_kernel, bits=bits, groupsize=groupsize,
@@ -287,25 +302,9 @@ def _qmm_t_2d(g, qweight, scales, zeros_scaled, bits: int, groupsize: int,
     """dx = g @ dequant(qweight)^T: g (M, N) -> (M, K). M must be 8-aligned."""
     m, n = g.shape
     k = qweight.shape[0] * 32 // bits
-    gtot = k // groupsize
-
-    plan = _tile_plan(k, n, groupsize, bits)
-    assert plan is not None, "caller must check supports()"
-    bk, gpt = plan
-    bn = None
-    if gpt != gtot:
-        tuned = _best_blocks(k, n, groupsize, bits)
-        if tuned is not None:
-            gpt, bn = tuned
-            bk = gpt * groupsize
-    # explicit overrides (measured autotuner / benchmarks) win
-    if block_groups is not None and k % (block_groups * groupsize) == 0:
-        gpt = block_groups
-        bk = block_groups * groupsize
-    if block_n is not None:
-        bn = block_n
-    bm = _pick_block(m, 256, 8)
-    bn = _pick_block(n, bn or 256, 128)
+    bm, bn, bk, gpt = _select_blocks(m, k, n, groupsize, bits,
+                                     block_n=block_n,
+                                     block_groups=block_groups)
 
     grid = (m // bm, k // bk, n // bn)
     kernel = functools.partial(_qmm_t_kernel, bits=bits, groupsize=groupsize,

@@ -21,7 +21,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..linear import PackedLinear
-from .matmul import _best_blocks, _pick_block, _tile_plan, _unpack_rows, supports
+from .matmul import _select_blocks, _tile_plan, _unpack_rows, supports
 
 
 def _fused_kernel(x_ref, qg_ref, sg_ref, zg_ref, qu_ref, su_ref, zu_ref,
@@ -67,21 +67,9 @@ def _fused_2d(x, qg, sg, zg, qu, su, zu, bits: int, groupsize: int,
               block_n: int | None = None, block_groups: int | None = None):
     m, k = x.shape
     n = qg.shape[1]
-    bk, gpt = _tile_plan(k, n, groupsize, bits)
-    bn = None
-    if gpt != k // groupsize:  # widen toward the overhead-optimal tile size
-        tuned = _best_blocks(k, n, groupsize, bits, n_weights=2)
-        if tuned is not None:
-            gpt, bn = tuned
-            bk = gpt * groupsize
-    # explicit overrides (measured autotuner / benchmarks) win
-    if block_groups is not None and k % (block_groups * groupsize) == 0:
-        gpt = block_groups
-        bk = block_groups * groupsize
-    if block_n is not None:
-        bn = block_n
-    bm = _pick_block(m, 256, 8)
-    bn = _pick_block(n, bn or 256, 128)
+    bm, bn, bk, gpt = _select_blocks(m, k, n, groupsize, bits, n_weights=2,
+                                     block_n=block_n,
+                                     block_groups=block_groups)
     grid = (m // bm, n // bn, k // bk)
     kernel = functools.partial(_fused_kernel, bits=bits, groupsize=groupsize,
                                groups_per_tile=gpt, out_dtype=out_dtype)
@@ -120,9 +108,24 @@ def supports_fused(gate: PackedLinear, up: PackedLinear) -> bool:
             and gate.bias is None and up.bias is None)
     if not same:
         return False
-    # a shared input permutation is fine only if identical on both
+    # the fused kernel fetches TWO packed streams per grid step: the full-K
+    # fallback plan must budget for both
+    if _tile_plan(gate.k_padded, gate.out_features, gate.groupsize,
+                  gate.bits, n_weights=2) is None:
+        return False
+    # the kernel applies ONE input permutation (gate's) to x, so the two
+    # must be IDENTICAL. perm may be a tracer at call time (params are jit
+    # arguments) — compare the host-side wire g_idx aux instead (perm is a
+    # pure function of g_idx).
     if (gate.perm is None) != (up.perm is None):
         return False
+    if gate.perm is not None:
+        if gate.perm is up.perm:
+            return True
+        if gate.g_idx is None or up.g_idx is None:
+            return False
+        import numpy as np
+        return bool(np.array_equal(gate.g_idx.arr, up.g_idx.arr))
     return True
 
 

@@ -48,5 +48,10 @@ def rms_norm_pallas(x, weight, eps: float, interpret: bool = False):
     """RMSNorm over the last axis; x (..., H)."""
     lead = x.shape[:-1]
     h = x.shape[-1]
-    y = _rms_2d(x.reshape(-1, h), weight, eps, interpret=interpret)
+    x2 = x.reshape(-1, h)
+    m = x2.shape[0]
+    mp = max(8, -(-m // 8) * 8)  # pad rows: odd m would degrade to bm=1
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    y = _rms_2d(x2, weight, eps, interpret=interpret)[:m]
     return y.reshape(*lead, h)

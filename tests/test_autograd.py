@@ -150,3 +150,33 @@ def test_vjp_dispatches_to_transposed_kernel(monkeypatch):
     want = 2.0 * (np.asarray(x) @ w) @ w.T
     tol = 3e-2 * float(np.abs(want).max())
     np.testing.assert_allclose(np.asarray(gx), want, atol=tol, rtol=0)
+
+
+def test_grad_through_fused_mlp(monkeypatch):
+    """jax.grad through fused_gate_up's Pallas path (the LoRA case where
+    gate/up stay frozen packed linears): the custom VJP recomputes through
+    the differentiable unfused form instead of crashing on pallas_call."""
+    import jax
+    from gptq_for_llama_tpu.ops import quant_matmul as qm
+    from gptq_for_llama_tpu.ops.pallas import matmul as pmm
+    monkeypatch.setenv("GPTQ_TPU_QMM_IMPL", "pallas")
+
+    gate, up = _lin(seed=11), _lin(seed=12)
+    x = jnp.asarray(np.random.RandomState(13)
+                    .standard_normal((4, gate.in_features)).astype(np.float32))
+
+    def loss(xx):
+        return jnp.sum(qm.fused_gate_up(gate, up, xx, "silu") ** 2)
+
+    val, dx = jax.value_and_grad(loss)(x)
+    assert np.isfinite(float(val))
+    # numeric check against the unfused XLA form
+    from gptq_for_llama_tpu.ops.linear import quant_matmul_xla
+    def loss_ref(xx):
+        g = quant_matmul_xla(xx, gate, dtype=jnp.float32)
+        u = quant_matmul_xla(xx, up, dtype=jnp.float32)
+        return jnp.sum((jax.nn.silu(g) * u) ** 2)
+    dx_ref = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               atol=2e-2 * float(jnp.abs(dx_ref).max()),
+                               rtol=0)
