@@ -160,11 +160,28 @@ def _timed_loop(fn, x, args, iters: int, reps: int, unroll: int) -> float:
     return best
 
 
-def measure(fn, x, args=(), iters: int = 20, reps: int = 2) -> float:
-    """Per-call seconds of fn(x, *args) -> y, dispatch floors cancelled."""
-    t_lo = _timed_loop(fn, x, args, iters, reps, 1)
-    t_hi = _timed_loop(fn, x, args, iters, reps, 5)
-    return max((t_hi - t_lo) / (iters * 4), 1e-9)
+def measure(fn, x, args=(), iters: int = 20, reps: int = 2,
+            samples: int = 3) -> float:
+    """Per-call seconds of fn(x, *args) -> y, dispatch floors cancelled.
+
+    Median of `samples` slope estimates. A non-positive slope
+    (t_hi <= t_lo) means relay jitter corrupted that estimate — clamping
+    it small would make the candidate look infinitely fast and win the
+    race, poisoning the persistent cache (observed on chip: a 0.0 us
+    "winner"). Invalid slopes are dropped and re-sampled up to a retry
+    budget; if none survive, raise so _race skips this candidate."""
+    slopes = []
+    for _ in range(samples + 2):  # at most 2 retries across all samples
+        t_lo = _timed_loop(fn, x, args, iters, reps, 1)
+        t_hi = _timed_loop(fn, x, args, iters, reps, 5)
+        slope = (t_hi - t_lo) / (iters * 4)
+        if slope > 0:
+            slopes.append(slope)
+            if len(slopes) >= samples:
+                break
+    if not slopes:
+        raise RuntimeError("non-positive timing slopes (relay jitter)")
+    return float(np.median(slopes))
 
 
 def tune_qmm(lin, m: int, kind: str = "fwd", iters: int = 20, reps: int = 2,
