@@ -379,7 +379,7 @@ def row_parallel_apply(lin, x, tp_ctx):
         if lin.perm is not None:
             xg = jax.lax.all_gather(x, axis, axis=x.ndim - 1, tiled=True)
             x = jnp.take(xg, lin.perm, axis=-1)
-            local = dataclasses.replace(lin, perm=None)
+            local = dataclasses.replace(lin, perm=None, perm_sig=None)
         bias = lin.bias
         if bias is not None:
             local = dataclasses.replace(local, bias=None)

@@ -32,14 +32,27 @@ class HostBuf:
     than the children keeps it off the device (no HBM, no H2D per step)
     and out of every jitted step's argument tree, while surviving
     tree_map/device_put/shard_map untouched. Equality/hash are keyed on
-    (shape, dtype) only: treedefs built from the same model structure
-    compare equal, and a false jit-cache hit is harmless because no
-    compiled program ever depends on the contents."""
+    (shape, dtype) only: per-layer CONTENTS legitimately differ, and
+    content-sensitive equality would break stack_layers (every layer's
+    qzeros/scales_wire would make its treedef unique). The one trace-time
+    decision that depends on contents — ops/pallas/mlp.supports_fused
+    comparing gate/up g_idx — is covered by PackedLinear.perm_sig, a
+    static aux digest that IS part of the treedef."""
 
-    __slots__ = ("arr",)
+    __slots__ = ("arr", "_digest")
 
     def __init__(self, arr):
         self.arr = np.asarray(arr)
+        self._digest = None
+
+    def digest(self) -> int:
+        """Cached 64-bit content digest (used for PackedLinear.perm_sig)."""
+        if self._digest is None:
+            import hashlib
+            h = hashlib.blake2b(np.ascontiguousarray(self.arr).tobytes(),
+                                digest_size=8)
+            self._digest = int.from_bytes(h.digest(), "little")
+        return self._digest
 
     def __eq__(self, other):
         return (isinstance(other, HostBuf)
@@ -95,22 +108,36 @@ class PackedLinear:
     # interleave so kernels unpack by concat (see quant/packing.py TPU layout)
     layout: str = "wire"
     scales_wire: Optional[HostBuf] = None
+    # static digest of g_idx CONTENTS, set iff perm is not None (act-order).
+    # Part of the treedef (aux), so trace-time decisions that compare gate/up
+    # input permutations (ops/pallas/mlp.supports_fused) are derivable from
+    # the jit cache key — two same-shape act-order models with different
+    # permutations can never share a wrong compiled fusion decision.
+    # None for non-act-order layers keeps same-shape layers treedef-equal
+    # (stack_layers/lax.scan compatibility).
+    perm_sig: Optional[int] = None
+
+    def __post_init__(self):
+        if (self.perm is not None and self.perm_sig is None
+                and self.g_idx is not None):
+            self.perm_sig = self.g_idx.digest()
 
     def tree_flatten(self):
         children = (self.qweight, self.scales, self.zeros, self.perm,
                     self.bias)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features,
-               self.layout, self.qzeros, self.g_idx, self.scales_wire)
+               self.layout, self.qzeros, self.g_idx, self.scales_wire,
+               self.perm_sig)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qweight, scales, zeros, perm, bias = children
         (bits, groupsize, in_features, out_features, layout,
-         qzeros, g_idx, scales_wire) = aux
+         qzeros, g_idx, scales_wire, perm_sig) = aux
         return cls(qweight, qzeros, scales, zeros, g_idx, perm, bias,
                    bits, groupsize, in_features, out_features, layout,
-                   scales_wire)
+                   scales_wire, perm_sig)
 
     @classmethod
     def from_wire(cls, qweight, qzeros, scales, g_idx, bits: int,

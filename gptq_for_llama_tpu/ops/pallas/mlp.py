@@ -115,17 +115,17 @@ def supports_fused(gate: PackedLinear, up: PackedLinear) -> bool:
         return False
     # the kernel applies ONE input permutation (gate's) to x, so the two
     # must be IDENTICAL. perm may be a tracer at call time (params are jit
-    # arguments) — compare the host-side wire g_idx aux instead (perm is a
-    # pure function of g_idx).
+    # arguments) — compare perm_sig, the STATIC g_idx digest that lives in
+    # the treedef (ops/linear.py): the decision is then derivable from the
+    # jit cache key, so two same-shape act-order models can never share a
+    # wrong compiled fusion decision through a common jitted function.
     if (gate.perm is None) != (up.perm is None):
         return False
     if gate.perm is not None:
         if gate.perm is up.perm:
-            return True
-        if gate.g_idx is None or up.g_idx is None:
-            return False
-        import numpy as np
-        return bool(np.array_equal(gate.g_idx.arr, up.g_idx.arr))
+            return True  # literally the same buffer (e.g. shared pytree node)
+        return (gate.perm_sig is not None
+                and gate.perm_sig == up.perm_sig)
     return True
 
 
