@@ -214,7 +214,31 @@ def main(argv=None):
         mesh = make_mesh(tp=args.tp, dp=1)
         print(f"tensor-parallel over mesh {dict(mesh.shape)}")
 
+    # --pre-layer with --eval/--benchmark: the flag exists for models that
+    # do NOT fit resident, so silently loading fully resident would defeat it
+    # (OOM). Route through OffloadRunner instead of ModelRunner.
+    offload_runner = None
+    if args.pre_layer is not None and (args.eval or args.benchmark):
+        from ..runtime.offload import OffloadRunner
+        offload_runner = OffloadRunner(cfg.arch, cfg, params,
+                                       pre_layer=args.pre_layer,
+                                       max_seq_len=seqlen,
+                                       kv_dtype=_kv_dtype(args.kv_dtype))
+
     if args.eval:
+        if offload_runner is not None:
+            datasets = (["wikitext2", "ptb", "c4"]
+                        if args.dataset != "synthetic" else ["synthetic"])
+            if args.new_eval and args.dataset != "synthetic":
+                datasets = ["wikitext2", "ptb-new", "c4-new"]
+            for ds in datasets:
+                _, test = get_loaders(
+                    ds, seed=args.seed, seqlen=seqlen,
+                    model=args.model if ds != "synthetic" else cfg)
+                with timer.phase(f"eval:{ds}"), trace():
+                    ppl = offload_runner.perplexity(test, seqlen=seqlen)
+                print(f"{ds} perplexity: {ppl:.4f}")
+    if args.eval and offload_runner is None:
         eval_params = params
         if mesh is not None:
             from ..parallel.sharding import shard_model_params
@@ -244,11 +268,14 @@ def main(argv=None):
         stream = np.asarray(train).reshape(-1)
         n = min(args.benchmark, len(stream))
         with timer.phase("benchmark"), trace():
-            runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
-                                 max_seq_len=max(n, 32),
-                                 mesh=mesh, shard_map_tp=mesh is not None,
-                                 fuse_qkv=args.fuse_attn,
-                                 kv_dtype=_kv_dtype(args.kv_dtype))
+            if offload_runner is not None:
+                runner = offload_runner  # --pre-layer: half-resident decode
+            else:
+                runner = ModelRunner(cfg.arch, cfg, params, batch_size=1,
+                                     max_seq_len=max(n, 32),
+                                     mesh=mesh, shard_map_tp=mesh is not None,
+                                     fuse_qkv=args.fuse_attn,
+                                     kv_dtype=_kv_dtype(args.kv_dtype))
             res = benchmark_decode(runner, stream[:n][None],
                                    check=args.check)
         print(json.dumps(res))

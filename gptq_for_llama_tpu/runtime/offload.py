@@ -180,6 +180,11 @@ class OffloadRunner:
                                eos_token_id=eos_token_id, seed=seed,
                                stream=stream)
 
+    def warmup(self, prefill_buckets=()):
+        """benchmark_decode compatibility: offloaded layer programs share one
+        treedef, so the first decode step compiles everything there is."""
+        return None
+
     def perplexity(self, test_ids, seqlen: int) -> float:
         """Streamed ppl eval (matches engine.evaluate semantics)."""
         test_ids = np.asarray(test_ids).reshape(-1)
