@@ -54,8 +54,12 @@ def _build() -> str | None:
         except OSError:
             pass
         return None
-    for old in os.listdir(ndir):  # prune caches of older source revisions
-        if (old.startswith("packlib-") and old != os.path.basename(so)
+    # prune caches of OTHER source revisions only: a concurrent builder's
+    # in-flight tmp for the SAME digest must survive, or its os.replace
+    # fails and that process silently falls back to the slow numpy path
+    prefix = os.path.basename(so)  # packlib-<digest>.so
+    for old in os.listdir(ndir):
+        if (old.startswith("packlib-") and not old.startswith(prefix)
                 and (old.endswith(".so") or ".so.tmp" in old)):
             try:
                 os.unlink(os.path.join(ndir, old))
