@@ -106,7 +106,14 @@ class ModelRunner:
                  max_seq_len: Optional[int] = None, dtype=jnp.bfloat16,
                  mesh=None, shard_map_tp: bool = False, tp_axis: str = "tp",
                  dp_axis: str = "dp", unroll_layers: Optional[bool] = None,
-                 fuse_qkv: bool = False, kv_dtype=None):
+                 fuse_qkv: bool = False, kv_dtype=None,
+                 abstract: bool = False):
+        # abstract=True: params leaves are jax.ShapeDtypeStruct — skip device
+        # placement so the step can be AOT-lowered (jit(...).lower) at model
+        # scales that do not fit in memory (the 65B partition-plan proof in
+        # __graft_entry__.dryrun_multichip). Such a runner can lower but
+        # never execute.
+        self.abstract = abstract
         self.arch = get_arch(arch_name)
         self.arch_name = arch_name
         self.cfg = cfg
@@ -158,8 +165,9 @@ class ModelRunner:
             from ..parallel import tp_model
             self._sp_specs = tp_model.step_specs(arch_name, self._step_params,
                                                  tp_axis)
-            self._step_params = tp_model.place_step_params(
-                self._step_params, mesh, self._sp_specs)
+            if not abstract:
+                self._step_params = tp_model.place_step_params(
+                    self._step_params, mesh, self._sp_specs)
         self._prefill_cache: dict[int, callable] = {}
         # token-scan partial unroll: each lax.scan iteration pays a fixed
         # per-iteration cost on the dispatch path (~0.6 ms through the axon
@@ -312,6 +320,57 @@ class ModelRunner:
             self._decode_scan_cache[steps] = run
         return self._decode_scan_cache[steps](self._step_params, ids, cache)
 
+    def decode_sample_scan(self, last_logits, cache: KVCache, steps: int,
+                           key, temperature, top_p, top_k: int = 0,
+                           eos_id: Optional[int] = None, min_left: int = 0):
+        """`steps` sample+decode iterations inside ONE compiled program.
+
+        The span analogue of serving's run_span (runtime/serve.py:304-324)
+        for single-request generation: sampling (sample_logits) and the PRNG
+        key threading run in-program, so a span of N tokens costs one host
+        dispatch instead of N (each ~20-30 ms through the axon relay — the
+        per-token loop was ~4x slower than the engine's own decode step).
+
+        last_logits: (B, V) logits to sample the FIRST token from (prefill
+        tail or previous span tail). min_left: EOS cannot be SAMPLED for the
+        first `min_left` in-span steps (HF MinLengthLogitsProcessor
+        semantics, sliced per span by the host). Returns
+        (tokens (B, steps), last_logits, cache, key).
+        """
+        cache_key = ("sample", steps, int(top_k), eos_id is not None)
+        if cache_key not in self._decode_scan_cache:
+            step = self._step_fn(1)
+            has_eos = eos_id is not None
+
+            @jax.jit
+            def run(sp, last, cache, key, temperature, top_p, min_left,
+                    eos):
+                def body(carry, i):
+                    last, cache, key = carry
+                    key, sub = jax.random.split(key)
+                    lg = last.astype(jnp.float32)
+                    if has_eos:
+                        lg = jnp.where(
+                            (jnp.arange(lg.shape[-1])[None, :] == eos)
+                            & (i < min_left), -jnp.inf, lg)
+                    tok = sample_logits(lg, sub, temperature, top_p,
+                                        top_k).astype(jnp.int32)[:, None]
+                    logits, cache = step(sp, tok, cache)
+                    return (logits[:, -1], cache, key), tok[:, 0]
+
+                (last, cache, key), toks = jax.lax.scan(
+                    body, (last, cache, key), jnp.arange(steps),
+                    unroll=self._token_unroll)
+                return jnp.swapaxes(toks, 0, 1), last, cache, key
+
+            self._decode_scan_cache[cache_key] = run
+        return self._decode_scan_cache[cache_key](
+            self._step_params, last_logits, cache, key,
+            jnp.asarray(temperature, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            jnp.asarray(min_left, jnp.int32),
+            jnp.asarray(-1 if eos_id is None else eos_id, jnp.int32))
+
     def forced_decode_scan(self, ids, cache: KVCache):
         """Teacher-forced decode: feed ids (B, S) one token per step inside ONE
         compiled program; returns (last_logits (B, 1, V), cache).
@@ -400,10 +459,16 @@ def sample_logits(logits, key, temperature, top_p, top_k: int = 0):
 def generate(runner: ModelRunner, prompt_ids, max_new_tokens: int,
              temperature: float = 0.8, top_p: float = 0.95, top_k: int = 0,
              min_new_tokens: int = 0, eos_token_id: Optional[int] = None,
-             seed: int = 0, stream=None):
+             seed: int = 0, stream=None, span: int = 32):
     """Autoregressive generation (reference llama_inference.py:109-128 semantics).
 
     prompt_ids: (B, S) or (S,) int. Returns (B, S + new) generated ids (numpy).
+
+    Runners with `decode_sample_scan` (ModelRunner) decode in spans of up to
+    `span` tokens per host dispatch (sampling + PRNG threading in-program);
+    EOS is handled host-side between spans, truncated so results are
+    token-identical to span=1. Runners without it (OffloadRunner — its layer
+    streaming is inherently host-driven) use the per-token loop.
     """
     ids = np.atleast_2d(np.asarray(prompt_ids, dtype=np.int32))
     b, s = ids.shape
@@ -416,6 +481,32 @@ def generate(runner: ModelRunner, prompt_ids, max_new_tokens: int,
     out = [ids]
     last = logits[:, -1]
     done = np.zeros(b, bool)
+
+    if hasattr(runner, "decode_sample_scan") and span > 1:
+        produced = 0
+        while produced < max_new_tokens and not done.all():
+            n = min(span, max_new_tokens - produced)
+            min_left = max(0, min_new_tokens - produced)
+            toks, last, cache, key = runner.decode_sample_scan(
+                last, cache, n, key, temperature, top_p, top_k,
+                eos_id=eos_token_id, min_left=min_left)
+            toks = np.asarray(toks, np.int32)  # (B, n)
+            # host-side EOS bookkeeping, column by column — identical
+            # semantics to the per-token loop (loop breaks after the column
+            # where every row has hit EOS; later columns are discarded)
+            keep = n
+            for j in range(n):
+                if eos_token_id is not None and produced + j >= min_new_tokens:
+                    done |= toks[:, j] == eos_token_id
+                if stream is not None:
+                    stream(toks[:, j])
+                if done.all():
+                    keep = j + 1
+                    break
+            out.append(toks[:, :keep])
+            produced += keep
+        return np.concatenate(out, axis=1)
+
     for step in range(max_new_tokens):
         key, sub = jax.random.split(key)
         if eos_token_id is not None and step < min_new_tokens:

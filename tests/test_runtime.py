@@ -262,3 +262,40 @@ def test_min_new_tokens_suppresses_eos():
                    min_new_tokens=3, eos_token_id=eos)
     gen = out[0, len(p):]
     assert eos not in gen[:3].tolist()
+
+
+def test_span_generate_matches_stepwise():
+    """decode_sample_scan spans must be token-identical to the per-token loop
+    (same PRNG key threading, same EOS/min_new semantics, EOS truncation)."""
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=48,
+                         dtype=jnp.float32)
+    prompt = np.array([1, 2, 3], np.int32)
+    for temp in (0.0, 0.9):
+        want = generate(runner, prompt, max_new_tokens=13, temperature=temp,
+                        top_p=0.9, seed=3, span=1)
+        for span in (4, 13, 32):
+            got = generate(runner, prompt, max_new_tokens=13,
+                           temperature=temp, top_p=0.9, seed=3, span=span)
+            np.testing.assert_array_equal(got, want)
+
+
+def test_span_generate_eos_truncation():
+    """A row hitting EOS mid-span must truncate exactly where span=1 stops,
+    and min_new_tokens suppression must hold across span boundaries."""
+    cfg = _tiny_cfg()
+    params = _params(cfg)
+    runner = ModelRunner("llama", cfg, params, batch_size=1, max_seq_len=48,
+                         dtype=jnp.float32)
+    p = np.array([1, 2, 3], np.int32)
+    eos = int(generate(runner, p, max_new_tokens=1, temperature=0.0)[0, -1])
+    for span in (1, 4, 32):
+        out = generate(runner, p, max_new_tokens=12, temperature=0.0,
+                       min_new_tokens=3, eos_token_id=eos, span=span)
+        gen = out[0, len(p):]
+        assert eos not in gen[:3].tolist()
+        if span == 1:
+            want = out
+        else:
+            np.testing.assert_array_equal(out, want)
