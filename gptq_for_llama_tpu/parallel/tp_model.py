@@ -58,28 +58,84 @@ def local_config(cfg, tp: int):
 # host-side preparation
 # ---------------------------------------------------------------------------
 
-def _prepare_row_linear(lin: PackedLinear, tp: int) -> PackedLinear:
-    """Make a row-parallel PackedLinear shardable on its device-row axis."""
+def _prepare_row_linear(lin: PackedLinear, tp: int,
+                        act_map: np.ndarray | None = None) -> PackedLinear:
+    """Make a row-parallel PackedLinear shardable on its device-row axis.
+
+    act_map: optional (in_features,) map from original activation index to
+    its position in the GATHERED activation when the upstream col-parallel
+    producer was shard-padded (_pad_col_shards) — the all-gathered x then has
+    zero pad entries interleaved at each shard's tail."""
     k, kp = lin.in_features, lin.k_padded
     g = lin.scales.shape[0]
     if (lin.qweight.shape[0] % tp) or (g % tp):
         raise ValueError(
             f"row-parallel: packed rows {lin.qweight.shape[0]} and groups {g} "
             f"must divide tp={tp}")
-    if lin.perm is None and kp == k:
+    if lin.perm is None and kp == k and act_map is None:
         return lin  # natural order, no padding: direct row sharding
     base = np.asarray(lin.perm) if lin.perm is not None else np.arange(k)
+    if act_map is not None:
+        base = act_map[base]
+    pad_idx = base[-1] if k else 0
     rowmap = np.concatenate(
-        [base, np.full(kp - k, k - 1)]).astype(np.int32)  # pad rows: clamped
+        [base, np.full(kp - k, pad_idx)]).astype(np.int32)  # pad rows: clamped
     return dataclasses.replace(lin, perm=jnp.asarray(rowmap))
 
 
-def _walk_linears(arch_name: str, layer_tree: dict, fn) -> dict:
+# per-arch MLP col producers -> row consumer: the one col->row pair whose
+# col output is consumed ONLY through the row linear's gather, so its N can
+# be shard-padded to the Pallas lane alignment (the attention q/k/v cols
+# must NOT be padded — their widths are reshaped to local heads*head_dim)
+_MLP_PAIRS = {
+    "llama": (("mlp.gate_proj", "mlp.up_proj"), "mlp.down_proj"),
+    "opt": (("fc1",), "fc2"),
+    "neox": (("mlp.dense_h_to_4h",), "mlp.dense_4h_to_h"),
+}
+
+_LANE = 128  # Pallas/Mosaic lane width: per-shard N must be a multiple
+
+
+def _pad_col_shards(lin: PackedLinear, tp: int, pad: int) -> PackedLinear:
+    """Zero-pad each TP shard of a col-parallel packed linear's N axis.
+
+    The global N axis is viewed as tp chunks of n_local; each chunk grows by
+    `pad` zero columns (scales=0 AND zeros=0, so dequant is exactly 0 and the
+    dot-then-scale kernel contributes exactly nothing), keeping every shard's
+    local N a multiple of the 128 lane width so ops/pallas/matmul.supports()
+    holds on the shard. Shard-local params are not a save path: the wire aux
+    is dropped to make that explicit."""
+    n = lin.out_features
+    n_local = n // tp
+
+    def pad_n(a):
+        rows = a.shape[0]
+        if isinstance(a, jax.ShapeDtypeStruct):
+            # abstract params (AOT lowering, runner abstract=True): only the
+            # padded SHAPE matters — there is no data to move
+            return jax.ShapeDtypeStruct((rows, tp * (n_local + pad)), a.dtype)
+        a3 = a.reshape(rows, tp, n_local)
+        a3 = jnp.pad(a3, ((0, 0), (0, 0), (0, pad)))
+        return a3.reshape(rows, tp * (n_local + pad))
+
+    bias = lin.bias
+    if bias is not None:
+        bias = jnp.pad(bias.reshape(tp, n_local), ((0, 0), (0, pad))).reshape(-1)
+    return dataclasses.replace(
+        lin, qweight=pad_n(lin.qweight), scales=pad_n(lin.scales),
+        zeros=pad_n(lin.zeros), bias=bias,
+        out_features=tp * (n_local + pad),
+        qzeros=None, g_idx=None, scales_wire=None)
+
+
+def _walk_linears(arch_name: str, layer_tree: dict, fn, skip=()) -> dict:
     """Apply fn(lin, mode) to every TP-ruled linear of one layer tree (copy)."""
     from ..engine.quantize import get_path, set_path  # cycle-free late import
 
     new = jax.tree_util.tree_map(lambda x: x, layer_tree)
     for name, mode in TP_RULES[arch_name].items():
+        if name in skip:
+            continue
         try:
             lin = get_path(new, name)
         except (KeyError, TypeError):
@@ -92,21 +148,57 @@ def prepare_tp_params(arch_name: str, params: dict, tp: int) -> dict:
     """Host-side transform before stacking/sharding for the shard_map runner.
 
     Returns a new params tree whose row-parallel packed linears carry a
-    device-row index map (see module docstring). Fused qkv projections are not
-    supported here (their concat N layout does not split into whole heads);
-    build the runner from unfused checkpoints for shard_map TP.
+    device-row index map (see module docstring), and whose MLP col-parallel
+    packed linears are shard-padded to the 128 lane width when n/tp is not a
+    multiple of it (65B g128 tp=8: intermediate 22016 -> 2752/shard, which
+    ops/pallas/matmul.supports() rejects; padded to 2816/shard the Pallas
+    kernels run — the padded-gather layout is composed into the downstream
+    row linear's index map). Fused qkv projections are not supported here
+    (their concat N layout does not split into whole heads); build the runner
+    from unfused checkpoints for shard_map TP.
     """
+    from ..engine.quantize import get_path, set_path
+
     def prep(lin, mode):
         if isinstance(lin, PackedLinear) and mode == "row":
             return _prepare_row_linear(lin, tp)
         return lin
 
+    cols, row_name = _MLP_PAIRS.get(arch_name, ((), None))
     out = {k: v for k, v in params.items()}
     new_layers = []
     for lp in params["layers"]:
         if "self_attn" in lp and "qkv_proj" in lp.get("self_attn", {}):
             raise ValueError("shard_map TP requires unfused q/k/v projections")
-        new_layers.append(_walk_linears(arch_name, lp, prep))
+        # MLP shard-padding first (its row consumer then needs an act_map,
+        # so the generic row prep must skip that one name)
+        act_map = None
+        new = jax.tree_util.tree_map(lambda x: x, lp)
+        try:
+            col_lins = [get_path(new, c) for c in cols]
+            row_lin = get_path(new, row_name) if row_name else None
+        except (KeyError, TypeError):
+            col_lins, row_lin = [], None
+        if (col_lins and isinstance(row_lin, PackedLinear)
+                and all(isinstance(c, PackedLinear) for c in col_lins)):
+            n = col_lins[0].out_features
+            if n % tp:
+                raise ValueError(
+                    f"col-parallel: out_features {n} must divide tp={tp}")
+            n_local = n // tp
+            pad = (-n_local) % _LANE
+            if pad:
+                for cname, c in zip(cols, col_lins):
+                    set_path(new, cname, _pad_col_shards(c, tp, pad))
+                j = np.arange(n)
+                act_map = ((j // n_local) * (n_local + pad)
+                           + (j % n_local)).astype(np.int32)
+            set_path(new, row_name,
+                     _prepare_row_linear(row_lin, tp, act_map=act_map))
+            new_layers.append(_walk_linears(arch_name, new, prep,
+                                            skip=(row_name,)))
+        else:
+            new_layers.append(_walk_linears(arch_name, new, prep))
     out["layers"] = new_layers
     return out
 
