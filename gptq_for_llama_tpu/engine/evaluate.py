@@ -17,20 +17,51 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.common import causal_mask
 from ..models.registry import get_arch
 
 
-def _nll_fn(arch, cfg):
+def _nll_fn(arch, cfg, head_chunk: int = 512):
     @jax.jit
     def nll(params, ids):
-        """Per-window summed shifted cross-entropy for (B, seqlen) windows."""
-        logits = arch.forward(params, cfg, ids).astype(jnp.float32)
-        shift_logits = logits[:, :-1]
-        shift_labels = ids[:, 1:]
-        logp = jax.nn.log_softmax(shift_logits, axis=-1)
-        tok = jnp.take_along_axis(logp, shift_labels[..., None], axis=-1)
+        """Per-window summed shifted cross-entropy for (B, seqlen) windows.
+
+        The trunk runs whole-window (flash prefill keeps attention O(S) in
+        memory); the HEAD is applied in `head_chunk`-position chunks under
+        lax.scan so the fp32 (B, S, V) logits never materialize — per-row
+        log-softmax is position-independent, so chunking changes nothing
+        numerically (reference computes full logits then shifts,
+        llama.py:246-252)."""
+        b, s = ids.shape
+        positions = jnp.arange(s)[None, :]
+        x = arch.embed(params, cfg, ids, positions)
+        mask = causal_mask(s, s)
+        for lp in params["layers"]:
+            x, _, _ = arch.layer(cfg, lp, x, positions, mask)
+
+        xs, labels = x[:, :-1], ids[:, 1:]
+        sm1 = s - 1
+        c = min(head_chunk, sm1)
+        pad = (-sm1) % c
+        xs = jnp.pad(xs, ((0, 0), (0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, 0), (0, pad)))
+        valid = jnp.pad(jnp.ones((b, sm1), jnp.float32), ((0, 0), (0, pad)))
+        nch = (sm1 + pad) // c
+        xs = jnp.swapaxes(xs.reshape(b, nch, c, -1), 0, 1)
+        labels = jnp.swapaxes(labels.reshape(b, nch, c), 0, 1)
+        valid = jnp.swapaxes(valid.reshape(b, nch, c), 0, 1)
+
+        def body(acc, inp):
+            xc, lc, vc = inp
+            logits = arch.head(params, cfg, xc).astype(jnp.float32)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            gold = jnp.take_along_axis(logits, lc[..., None], axis=-1)[..., 0]
+            return acc + jnp.sum((lse - gold) * vc, axis=-1), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((b,), jnp.float32),
+                              (xs, labels, valid))
         # mean CE over seqlen-1 tokens, scaled by seqlen (reference llama.py:250-252)
-        return -jnp.mean(tok, axis=(1, 2)) * ids.shape[1]
+        return acc / sm1 * s
 
     return nll
 
@@ -42,14 +73,20 @@ def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
     test_ids: (T,) int32. Uses floor(T / seqlen) windows (reference llama.py:181).
     Windows run `batch` at a time under one jit (the reference evaluates one by
     one; batching only amortizes dispatch — per-window NLLs are identical).
-    Default batch scales down with seqlen: full-causal attention materializes
-    (B, H, S, S) fp32 logits (~0.5 GB per layer at S=2048, B=1), so long
-    sequences cap the batch until a flash prefill kernel lands.
+    Default batch: 8 on TPU — the flash prefill path never materializes the
+    (B, H, S, S) transient and the chunked head never materializes (B, S, V),
+    so batching is bounded by activation memory, not attention/logits; larger
+    batches amortize the per-window weight stream. Off-TPU (CPU tests) the
+    XLA attention fallback DOES materialize (B, H, S, S), so the batch still
+    scales down with seqlen there.
     """
     arch = get_arch(arch_name)
     seqlen = seqlen or cfg.max_seq_len
     if batch is None:
-        batch = max(1, min(8, (512 * 512 * 8) // (seqlen * seqlen)))
+        if jax.default_backend() == "tpu":
+            batch = 8
+        else:
+            batch = max(1, min(8, (512 * 512 * 8) // (seqlen * seqlen)))
     test_ids = np.asarray(test_ids).reshape(-1)
     nsamples = len(test_ids) // seqlen
     if nsamples == 0:
