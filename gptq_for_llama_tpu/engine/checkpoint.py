@@ -47,6 +47,12 @@ _HF_LAYOUT = {
         "final_layer_norm": "gpt_neox.final_layer_norm",
         "embed_out": "embed_out",
     }),
+    "gpt2": ("transformer.h", {
+        "wte": "transformer.wte.weight",
+        "wpe": "transformer.wpe.weight",
+        "ln_f": "transformer.ln_f",
+        "lm_head": "lm_head",
+    }),
 }
 
 
@@ -103,12 +109,15 @@ def _flat_norm(flat: dict, key: str, node):
         flat[f"{key}.weight"] = np.asarray(node)
 
 
-def _flat_linear(flat: dict, key: str, lin):
+def _flat_linear(flat: dict, key: str, lin, conv1d: bool = False):
     if isinstance(lin, PackedLinear):
         for k, v in lin.to_wire().items():
             flat[f"{key}.{k}"] = v
         return
-    flat[f"{key}.weight"] = np.asarray(lin["kernel"]).T  # back to HF (out, in)
+    # HF Linear stores (out, in); transformers Conv1D (GPT-2 layers) stores
+    # (in, out) — our kernel convention, so Conv1D saves untransposed
+    w = np.asarray(lin["kernel"])
+    flat[f"{key}.weight"] = w if conv1d else w.T
     if lin.get("bias") is not None:
         flat[f"{key}.bias"] = np.asarray(lin["bias"])
 
@@ -132,12 +141,13 @@ def flatten_to_hf(arch_name: str, cfg, params) -> dict[str, np.ndarray]:
         else:
             _flat_norm(flat, hf_key, node)
 
+    conv1d = arch_name == "gpt2"  # all GPT-2 layer linears are Conv1D
     for li, lp in enumerate(params["layers"]):
         p = f"{layer_prefix}.{li}"
         for name, node in _walk_layer(lp):
             key = f"{p}.{name}"
             if isinstance(node, PackedLinear) or (isinstance(node, dict) and "kernel" in node):
-                _flat_linear(flat, key, node)
+                _flat_linear(flat, key, node, conv1d=conv1d)
             else:
                 _flat_norm(flat, key, node)
     return flat
@@ -225,6 +235,13 @@ def _hf_config_dict(arch_name: str, cfg) -> dict:
                 "layer_norm_eps": cfg.norm_eps, "hidden_act": cfg.act,
                 "use_parallel_residual": cfg.parallel_residual,
                 "max_position_embeddings": cfg.max_seq_len}
+    if arch_name == "gpt2":
+        return {"model_type": "gpt2", "vocab_size": cfg.vocab_size,
+                "n_embd": cfg.hidden_size, "n_inner": cfg.intermediate_size,
+                "n_layer": cfg.num_layers, "n_head": cfg.num_heads,
+                "n_positions": cfg.max_seq_len,
+                "layer_norm_epsilon": cfg.norm_eps,
+                "activation_function": cfg.act}
     raise ValueError(arch_name)
 
 

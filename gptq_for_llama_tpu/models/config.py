@@ -10,7 +10,7 @@ from typing import Optional
 
 @dataclasses.dataclass(frozen=True)
 class ModelConfig:
-    arch: str                       # 'llama' | 'opt' | 'neox'
+    arch: str                       # 'llama' | 'opt' | 'neox' | 'gpt2'
     vocab_size: int
     hidden_size: int
     intermediate_size: int
@@ -91,5 +91,19 @@ def config_from_hf(model_path: str, seqlen: Optional[int] = None) -> ModelConfig
             act=hf.get("hidden_act", "gelu"),
             parallel_residual=hf.get("use_parallel_residual", True),
             attn_bias=True, mlp_bias=True,
+        )
+    if mt == "gpt2":
+        hidden = hf["n_embd"]
+        heads = hf["n_head"]
+        return ModelConfig(
+            arch="gpt2", vocab_size=hf["vocab_size"], hidden_size=hidden,
+            intermediate_size=hf.get("n_inner") or 4 * hidden,
+            num_layers=hf["n_layer"], num_heads=heads, num_kv_heads=heads,
+            head_dim=hidden // heads,
+            max_seq_len=seqlen or hf.get("n_positions", 1024),
+            norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+            act=hf.get("activation_function", "gelu_new"),
+            pos_embedding="learned", attn_bias=True, mlp_bias=True,
+            tie_word_embeddings=True,  # GPT2LMHeadModel always ties
         )
     raise ValueError(f"Unsupported model_type {mt!r} in {model_path}")

@@ -98,6 +98,18 @@ class _Mapper:
         b = self.tensor(f"{prefix}.bias") if f"{prefix}.bias" in self.flat else None
         return dense(w, b)
 
+    def conv1d(self, prefix):
+        """transformers Conv1D (GPT-2-class): weight is stored (in, out) —
+        already this framework's kernel convention, so NO transpose (the
+        reference instead transposes it to fit its (out, in) solver,
+        gptq.py:62-64,89-93). Packed buffers are layout-free (standard GPTQ
+        wire format) and share the packed branch of linear()."""
+        if f"{prefix}.qweight" in self.flat:
+            return self.linear(prefix)
+        w = self.tensor(f"{prefix}.weight")
+        b = self.tensor(f"{prefix}.bias") if f"{prefix}.bias" in self.flat else None
+        return dense(w, b)
+
 
 def _infer_bits_from_shapes(flat: dict) -> int | None:
     """Infer wbits from a packed checkpoint: qweight rows = K*bits/32, K = len(g_idx)."""
@@ -139,6 +151,8 @@ def load_params(model_path: str, cfg: ModelConfig | None = None, dtype=jnp.bfloa
         params = _load_opt(m, cfg)
     elif cfg.arch == "neox":
         params = _load_neox(m, cfg)
+    elif cfg.arch == "gpt2":
+        params = _load_gpt2(m, cfg)
     else:
         raise ValueError(cfg.arch)
     return cfg, params
@@ -193,6 +207,28 @@ def _load_opt(m: _Mapper, cfg: ModelConfig):
                          or m.has("lm_head.qweight")  # packed untied head
                          else dense(embed.T))
     return params
+
+
+def _load_gpt2(m: _Mapper, cfg: ModelConfig):
+    t = "transformer"
+    layers = []
+    for i in range(cfg.num_layers):
+        p = f"{t}.h.{i}"
+        layers.append({
+            "ln_1": m.norm(f"{p}.ln_1"),
+            "ln_2": m.norm(f"{p}.ln_2"),
+            "attn": {"c_attn": m.conv1d(f"{p}.attn.c_attn"),
+                     "c_proj": m.conv1d(f"{p}.attn.c_proj")},
+            "mlp": {"c_fc": m.conv1d(f"{p}.mlp.c_fc"),
+                    "c_proj": m.conv1d(f"{p}.mlp.c_proj")},
+        })
+    wte = m.tensor(f"{t}.wte.weight")
+    # a packed (untied, --quantize-lm-head) head may exist; tied otherwise
+    lm_head = (m.linear("lm_head") if m.has("lm_head.weight")
+               or m.has("lm_head.qweight") else dense(wte.T))
+    return {"wte": wte, "wpe": m.tensor(f"{t}.wpe.weight"),
+            "layers": layers, "ln_f": m.norm(f"{t}.ln_f"),
+            "lm_head": lm_head}
 
 
 def _load_neox(m: _Mapper, cfg: ModelConfig):

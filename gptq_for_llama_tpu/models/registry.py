@@ -8,9 +8,9 @@ same functional surface; everything else in the framework is arch-agnostic.
 
 from __future__ import annotations
 
-from . import llama, neox, opt
+from . import gpt2, llama, neox, opt
 
-ARCHS = {m.NAME: m for m in (llama, opt, neox)}
+ARCHS = {m.NAME: m for m in (llama, opt, neox, gpt2)}
 
 
 def get_arch(name: str):

@@ -51,7 +51,21 @@ TP_RULES = {
         "attention.query_key_value": "col", "attention.dense": "row",
         "mlp.dense_h_to_4h": "col", "mlp.dense_4h_to_h": "row",
     },
+    # gpt2 has NO entry: its fused c_attn uses the [all Q | all K | all V]
+    # BLOCK layout (unlike neox's per-head interleave), so column-sharding
+    # would split q/k/v across shards — see tp_rules()
 }
+
+
+def tp_rules(arch_name: str) -> dict:
+    """TP_RULES lookup with an actionable error for unsupported arches."""
+    try:
+        return TP_RULES[arch_name]
+    except KeyError:
+        raise ValueError(
+            f"tensor parallelism is not supported for {arch_name!r} "
+            "(gpt2: the fused c_attn [Q|K|V] block layout does not "
+            "column-split into whole heads); run single-chip") from None
 
 
 def make_mesh(tp: Optional[int] = None, dp: int = 1,
@@ -150,7 +164,7 @@ def shard_model_params(arch_name: str, cfg, params, mesh: Mesh,
     """
     from ..engine.quantize import get_path, set_path  # cycle-free late import
 
-    rules = TP_RULES[arch_name]
+    rules = tp_rules(arch_name)
     replicate = lambda x: _shard(mesh, x, P(*(None,) * np.ndim(x)))
 
     def shard_tree(node):

@@ -35,7 +35,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from .sharding import TP_RULES
+from .sharding import TP_RULES, tp_rules
 from ..ops.linear import PackedLinear
 
 __all__ = ["local_config", "prepare_tp_params", "step_specs",
@@ -133,7 +133,7 @@ def _walk_linears(arch_name: str, layer_tree: dict, fn, skip=()) -> dict:
     from ..engine.quantize import get_path, set_path  # cycle-free late import
 
     new = jax.tree_util.tree_map(lambda x: x, layer_tree)
-    for name, mode in TP_RULES[arch_name].items():
+    for name, mode in tp_rules(arch_name).items():
         if name in skip:
             continue
         try:
@@ -244,7 +244,7 @@ def _replicated(tree):
 def _layer_specs(arch_name: str, layer_tree: dict, axis: str, lead: int):
     from ..engine.quantize import get_path, set_path
     spec = jax.tree_util.tree_map(lambda _: P(), layer_tree)
-    for name, mode in TP_RULES[arch_name].items():
+    for name, mode in tp_rules(arch_name).items():
         try:
             lin = get_path(layer_tree, name)
         except (KeyError, TypeError):

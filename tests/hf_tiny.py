@@ -33,6 +33,18 @@ def tiny_opt_dir(tmpdir, vocab=128, hidden=32, inter=64, layers=2, heads=4,
     return str(tmpdir), model
 
 
+def tiny_gpt2_dir(tmpdir, vocab=128, hidden=32, inter=64, layers=2, heads=4):
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+    cfg = GPT2Config(vocab_size=vocab, n_embd=hidden, n_inner=inter,
+                     n_layer=layers, n_head=heads, n_positions=64,
+                     activation_function="gelu_new")
+    torch.manual_seed(3)
+    model = GPT2LMHeadModel(cfg).eval().float()
+    model.save_pretrained(str(tmpdir), safe_serialization=True)
+    return str(tmpdir), model
+
+
 def tiny_neox_dir(tmpdir, vocab=128, hidden=32, inter=64, layers=2, heads=4,
                   rotary_pct=0.5, parallel=True):
     import torch

@@ -66,3 +66,58 @@ def test_layer_taps_shapes(tmp_path):
     assert set(taps) == set(arch.LAYER_LINEARS)
     assert taps["mlp.down_proj"].shape == (1, 8, cfg.intermediate_size)
     assert k.shape == (1, 8, cfg.num_kv_heads, cfg.head_dim)
+
+
+def test_gpt2_forward_matches_hf(tmp_path):
+    d, m = hf_tiny.tiny_gpt2_dir(tmp_path)
+    _run(d, m, "gpt2")
+
+
+def test_gpt2_quantize_pack_reload_decode(tmp_path):
+    """GPT-2-class end to end: Conv1D (in,out) capture -> GPTQ -> pack ->
+    save -> hf_loader reload -> KV-cached decode matches full forward.
+    (The reference's Conv1D transpose capture, gptq.py:62-64,89-93.)"""
+    import jax
+    from gptq_for_llama_tpu.data import get_loaders
+    from gptq_for_llama_tpu.engine import (QuantizeSpec, pack_model,
+                                           quantize_model, save_packed)
+    from gptq_for_llama_tpu.runtime import ModelRunner
+
+    d, _ = hf_tiny.tiny_gpt2_dir(tmp_path / "model")
+    cfg, params = hf_loader.load_params(d, dtype=jnp.float32, seqlen=32)
+    train, _ = get_loaders("synthetic", nsamples=4, seed=0, seqlen=32, model=cfg)
+    spec = QuantizeSpec(wbits=4, groupsize=16, chunk=4, true_sequential=True)
+    params, quantizers, _ = quantize_model("gpt2", cfg, params, train, spec,
+                                           verbose=False)
+    assert len(quantizers) == cfg.num_layers * 4
+    params = pack_model("gpt2", cfg, params, quantizers, dtype=jnp.float32)
+    out = tmp_path / "packed"
+    save_packed(str(out), "gpt2", cfg, params, quantizers, spec)
+    cfg2, reloaded = hf_loader.load_params(str(out), dtype=jnp.float32,
+                                           seqlen=32)
+    assert cfg2.arch == "gpt2"
+    arch = registry.get_arch("gpt2")
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, size=(1, 12)).astype(np.int32)
+    want = np.asarray(arch.forward(reloaded, cfg2, jnp.asarray(ids)))
+    # packed buffers byte-exact through the save/load roundtrip
+    np.testing.assert_allclose(
+        want, np.asarray(arch.forward(params, cfg, jnp.asarray(ids))),
+        atol=2e-4, rtol=1e-3)
+    # KV-cached decode parity on the reloaded packed model
+    runner = ModelRunner("gpt2", cfg2, reloaded, batch_size=1, max_seq_len=16,
+                         dtype=jnp.float32)
+    cache = runner.init_cache()
+    logits_p, cache = runner.prefill(jnp.asarray(ids[:, :8]), cache)
+    got = [np.asarray(logits_p)]
+    for i in range(8, 12):
+        logits_d, cache = runner.decode(jnp.asarray(ids[:, i:i + 1]), cache)
+        got.append(np.asarray(logits_d))
+    np.testing.assert_allclose(np.concatenate(got, axis=1), want,
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_gpt2_tp_rejected_with_rationale():
+    from gptq_for_llama_tpu.parallel.sharding import tp_rules
+    with pytest.raises(ValueError, match="c_attn"):
+        tp_rules("gpt2")

@@ -285,6 +285,11 @@ def test_serving_all_arches_match_runner():
                             num_kv_heads=4, head_dim=32, max_seq_len=64,
                             act="gelu", rotary_pct=0.25,
                             parallel_residual=True, norm_eps=1e-5),
+        "gpt2": ModelConfig(arch="gpt2", vocab_size=128, hidden_size=128,
+                            intermediate_size=256, num_layers=2, num_heads=4,
+                            num_kv_heads=4, head_dim=32, max_seq_len=64,
+                            act="gelu_new", pos_embedding="learned",
+                            norm_eps=1e-5, attn_bias=True, mlp_bias=True),
     }
     prompts = [np.array([1, 2, 3], np.int32), np.array([5, 6], np.int32),
                np.array([9, 8, 7], np.int32)]
