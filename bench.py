@@ -364,22 +364,24 @@ def main():
     jax.block_until_ready(params["embed_tokens"])
     stage("weights on device")
 
-    if backend == "tpu" and not tiny:
-        # measured kernel autotune at the decode row bucket (persists in the
-        # cache dir; later runs and the runner's own lookups hit it)
-        from gptq_for_llama_tpu.ops.pallas import autotune as at
-        from gptq_for_llama_tpu.runtime.runner import (collect_mlp_pairs,
-                                                       collect_packed_linears)
-        at.ensure_linears(collect_packed_linears(params), 8,
-                          log=lambda m: stage(m))
-        at.ensure_mlp_pairs(collect_mlp_pairs(params), 8,
-                            log=lambda m: stage(m))
-        stage("kernel autotune ensured")
-
     max_len = 256 if not tiny else 64
     runner = ModelRunner("llama", cfg, params, batch_size=1,
                          max_seq_len=max_len, dtype=dtype,
                          fuse_qkv=os.environ.get("BENCH_FUSE_QKV", "") == "1")
+
+    if backend == "tpu" and not tiny:
+        # measured kernel autotune at the decode row bucket (persists in the
+        # cache dir; later runs and the runner's own lookups hit it). Tune
+        # the RUNNER's params — after fuse_qkv, so the fused 4096x12288
+        # projection shape is measured too, not just the unfused shapes.
+        from gptq_for_llama_tpu.ops.pallas import autotune as at
+        from gptq_for_llama_tpu.runtime.runner import (collect_mlp_pairs,
+                                                       collect_packed_linears)
+        at.ensure_linears(collect_packed_linears(runner.params), 8,
+                          log=lambda m: stage(m))
+        at.ensure_mlp_pairs(collect_mlp_pairs(runner.params), 8,
+                            log=lambda m: stage(m))
+        stage("kernel autotune ensured")
     cache = runner.init_cache()
     # seed the cache teacher-forced through the (fast-compiling) decode step —
     # the unrolled-layers prefill program takes ~20 min through the remote

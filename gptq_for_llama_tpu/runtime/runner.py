@@ -171,13 +171,15 @@ class ModelRunner:
         self._prefill_cache: dict[int, callable] = {}
         # token-scan partial unroll: each lax.scan iteration pays a fixed
         # per-iteration cost on the dispatch path (~0.6 ms through the axon
-        # relay); unrolling 4 steps per iteration amortizes it
-        # (7.44 -> 6.98 ms/token measured; scripts/decomp.py unroll_tok4).
+        # relay); unrolling 8 steps per iteration amortizes it. Swept on chip
+        # (round 3, bench_artifacts/r03_sweep.json): unroll 4 -> 152.2 tok/s,
+        # unroll 8 -> 156.8 tok/s (0.9725 of roofline) on 7B INT4-g128
+        # decode; fused QKV added nothing on top (156.4).
         # GPTQ_TPU_TOKEN_UNROLL overrides for sweeps.
         import os
         self._token_unroll = int(os.environ.get(
             "GPTQ_TPU_TOKEN_UNROLL",
-            "4" if jax.default_backend() == "tpu" else "1"))
+            "8" if jax.default_backend() == "tpu" else "1"))
         self._decode = jax.jit(self._step_fn(1))
         self._decode_scan_cache: dict[int, callable] = {}
 
