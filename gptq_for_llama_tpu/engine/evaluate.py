@@ -66,6 +66,24 @@ def _nll_fn(arch, cfg, head_chunk: int = 512):
     return nll
 
 
+def _default_batch(cfg, seqlen: int) -> int:
+    """Eval window batch: 8 when the flash prefill kernel will actually take
+    the shape on TPU; otherwise the seqlen-scaled cap that bounds the XLA
+    fallback's per-chunk (B, H, q_chunk, S) fp32 logits transient."""
+    import os
+    scaled = max(1, min(8, (512 * 512 * 8) // (seqlen * seqlen)))
+    if (jax.default_backend() != "tpu"
+            or os.environ.get("GPTQ_TPU_ATTN_IMPL", "") == "xla"):
+        return scaled
+    from ..ops.pallas.flash import supports_prefill, supports_prefill_blocked
+    flash_ok = seqlen > 256 and (
+        supports_prefill(seqlen, seqlen, cfg.num_heads, cfg.num_kv_heads,
+                         cfg.head_dim)
+        or supports_prefill_blocked(seqlen, seqlen, cfg.num_heads,
+                                    cfg.num_kv_heads, cfg.head_dim))
+    return 8 if flash_ok else scaled
+
+
 def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
                verbose: bool = False, log=print, batch: int | None = None) -> float:
     """Wikitext2/PTB/C4-style perplexity over a flat token stream.
@@ -73,20 +91,20 @@ def perplexity(arch_name: str, cfg, params, test_ids, seqlen: int | None = None,
     test_ids: (T,) int32. Uses floor(T / seqlen) windows (reference llama.py:181).
     Windows run `batch` at a time under one jit (the reference evaluates one by
     one; batching only amortizes dispatch — per-window NLLs are identical).
-    Default batch: 8 on TPU — the flash prefill path never materializes the
-    (B, H, S, S) transient and the chunked head never materializes (B, S, V),
-    so batching is bounded by activation memory, not attention/logits; larger
-    batches amortize the per-window weight stream. Off-TPU (CPU tests) the
-    XLA attention fallback DOES materialize (B, H, S, S), so the batch still
-    scales down with seqlen there.
+    Default batch: 8 on TPU when the flash prefill kernel accepts the shape —
+    flash never materializes the (B, H, S, S) transient and the chunked head
+    never materializes (B, S, V), so batching is bounded by activation memory,
+    not attention/logits; larger batches amortize the per-window weight stream.
+    When the kernel's supports() gate declines (sq <= 256, head_dim % 128 != 0,
+    GQA mismatch — e.g. GPT-2's head_dim 64) the XLA fallback materializes
+    (B, H, q_chunk<=256, S) fp32 logits per layer, so the batch scales down
+    with seqlen like the CPU path instead of risking OOM. Off-TPU (CPU tests)
+    the fallback is always in play, so the batch always scales down there.
     """
     arch = get_arch(arch_name)
     seqlen = seqlen or cfg.max_seq_len
     if batch is None:
-        if jax.default_backend() == "tpu":
-            batch = 8
-        else:
-            batch = max(1, min(8, (512 * 512 * 8) // (seqlen * seqlen)))
+        batch = _default_batch(cfg, seqlen)
     test_ids = np.asarray(test_ids).reshape(-1)
     nsamples = len(test_ids) // seqlen
     if nsamples == 0:

@@ -113,8 +113,10 @@ class PackedLinear:
     # input permutations (ops/pallas/mlp.supports_fused) are derivable from
     # the jit cache key — two same-shape act-order models with different
     # permutations can never share a wrong compiled fusion decision.
-    # None for non-act-order layers keeps same-shape layers treedef-equal
-    # (stack_layers/lax.scan compatibility).
+    # None for non-act-order layers keeps same-shape layers treedef-equal;
+    # act-order layers (unique per-layer sigs) are re-keyed to a shared
+    # combined digest by runtime/runner._normalize_perm_sigs before stacking
+    # so they still take the lax.scan path.
     perm_sig: Optional[int] = None
 
     def __post_init__(self):

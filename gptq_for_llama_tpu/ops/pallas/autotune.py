@@ -169,7 +169,10 @@ def measure(fn, x, args=(), iters: int = 20, reps: int = 2,
     it small would make the candidate look infinitely fast and win the
     race, poisoning the persistent cache (observed on chip: a 0.0 us
     "winner"). Invalid slopes are dropped and re-sampled up to a retry
-    budget; if none survive, raise so _race skips this candidate."""
+    budget; a median over min(2, samples) valid slopes is required —
+    a SINGLE positive-but-jitter-corrupted slope could still crown a
+    wrong winner and be persisted, so too few survivors also raise and
+    _race skips the candidate."""
     slopes = []
     for _ in range(samples + 2):  # at most 2 retries across all samples
         t_lo = _timed_loop(fn, x, args, iters, reps, 1)
@@ -179,8 +182,9 @@ def measure(fn, x, args=(), iters: int = 20, reps: int = 2,
             slopes.append(slope)
             if len(slopes) >= samples:
                 break
-    if not slopes:
-        raise RuntimeError("non-positive timing slopes (relay jitter)")
+    if len(slopes) < min(2, samples):
+        raise RuntimeError(
+            f"only {len(slopes)}/{samples} valid timing slopes (relay jitter)")
     return float(np.median(slopes))
 
 

@@ -53,8 +53,57 @@ def collect_mlp_pairs(params) -> list:
     return pairs
 
 
+def _normalize_perm_sigs(layers: list):
+    """Re-key per-layer PackedLinear.perm_sig so act-order layers stack.
+
+    perm_sig is treedef AUX (ops/linear.py) and each act-order layer's g_idx
+    digest is unique, so raw treedef equality would reject every act-order
+    checkpoint from the lax.scan path. Replacing each tree position's sig
+    with ONE digest over that position's per-layer sigs keeps the property
+    perm_sig exists for — gate/up fusability (ops/pallas/mlp.supports_fused)
+    stays derivable from the jit cache key: the gate and up positions get
+    equal combined sigs iff their sigs matched in EVERY layer, which is
+    exactly when fusing inside the scanned body (where perm is a per-
+    iteration leaf) is valid for all layers.
+
+    Returns re-keyed copies (or `layers` unchanged if nothing to do)."""
+    import copy
+    import hashlib
+    from ..ops.linear import PackedLinear
+
+    def is_pl(x):
+        return isinstance(x, PackedLinear)
+
+    flat = [jax.tree_util.tree_flatten(lp, is_leaf=is_pl) for lp in layers]
+    if len({td for _, td in flat}) != 1:
+        return layers  # structural mismatch: let the caller's check reject
+    new_leaves = [list(lv) for lv, _ in flat]
+    for pos, nodes in enumerate(zip(*[lv for lv, _ in flat])):
+        if not all(is_pl(n) for n in nodes):
+            continue
+        sigs = [n.perm_sig for n in nodes]
+        if len(set(sigs)) <= 1:
+            continue  # already treedef-uniform at this position
+        h = hashlib.blake2b(digest_size=8)
+        for s in sigs:
+            h.update(b"\x00" if s is None
+                     else b"\x01" + int(s).to_bytes(8, "little"))
+        combined = int.from_bytes(h.digest(), "little")
+        for li, n in enumerate(nodes):
+            n2 = copy.copy(n)  # shallow; skips __post_init__ re-derivation
+            n2.perm_sig = combined
+            new_leaves[li][pos] = n2
+    return [jax.tree_util.tree_unflatten(td, lv)
+            for lv, (_, td) in zip(new_leaves, flat)]
+
+
 def stack_layers(layers: list):
-    """Stack per-layer pytrees leaf-wise for lax.scan; None on mismatch."""
+    """Stack per-layer pytrees leaf-wise for lax.scan; None on mismatch.
+
+    Act-order layers carry per-layer perm_sig aux; _normalize_perm_sigs
+    re-keys them to a shared digest so same-shape act-order checkpoints
+    still take the single-scan-program path."""
+    layers = _normalize_perm_sigs(layers)
     treedefs = {jax.tree_util.tree_structure(lp) for lp in layers}
     if len(treedefs) != 1:
         return None

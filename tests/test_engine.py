@@ -200,3 +200,28 @@ def test_export_quant_table(tmp_path):
     assert entry["wbits"] == 4
     scale = np.load(os.path.join(qdir, entry["scale"]))
     assert scale.shape[0] == cfg.num_heads * cfg.head_dim
+
+
+def test_eval_batch_cap_respects_flash_gate(monkeypatch):
+    """On TPU the eval batch is 8 only when the flash prefill kernel accepts
+    the shape; gated-off shapes (e.g. GPT-2's head_dim 64) must keep the
+    seqlen-scaled cap so the XLA fallback's logits transient stays bounded."""
+    import jax
+    from gptq_for_llama_tpu.engine.evaluate import _default_batch
+    from gptq_for_llama_tpu.models.config import ModelConfig
+
+    def cfg(head_dim):
+        return ModelConfig(arch="llama", vocab_size=64, hidden_size=head_dim * 4,
+                           intermediate_size=64, num_layers=1, num_heads=4,
+                           num_kv_heads=4, head_dim=head_dim, max_seq_len=2048)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("GPTQ_TPU_ATTN_IMPL", raising=False)
+    assert _default_batch(cfg(128), 2048) == 8           # flash-supported
+    assert _default_batch(cfg(64), 2048) == 1            # gated off: scaled
+    assert _default_batch(cfg(128), 200) == 8           # sq<=256: scaled cap, still 8
+    monkeypatch.setenv("GPTQ_TPU_ATTN_IMPL", "xla")
+    assert _default_batch(cfg(128), 2048) == 1           # forced XLA: scaled
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    monkeypatch.delenv("GPTQ_TPU_ATTN_IMPL", raising=False)
+    assert _default_batch(cfg(128), 2048) == 1           # off-TPU: scaled

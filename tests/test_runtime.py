@@ -299,3 +299,67 @@ def test_span_generate_eos_truncation():
             want = out
         else:
             np.testing.assert_array_equal(out, want)
+
+
+def _act_order_packed(k, n, bits, groupsize, seed, perm_seed):
+    """Packed linear whose g_idx is scrambled by a perm drawn from perm_seed
+    (layers built with different perm_seeds get different perm_sig digests)."""
+    from gptq_for_llama_tpu.ops.linear import PackedLinear
+    from gptq_for_llama_tpu.quant import packing
+    rng = np.random.RandomState(seed)
+    g = k // groupsize
+    codes = rng.randint(0, 2 ** bits, size=(k, n)).astype(np.uint32)
+    qweight = packing.pack_rows(codes, bits)
+    zeros = rng.randint(1, 2 ** bits, size=(g, n)).astype(np.uint32)
+    qzeros = packing.pack_cols(zeros - 1, bits)
+    scales = rng.rand(g, n).astype(np.float32) * 0.02 + 0.005
+    p = np.random.RandomState(perm_seed).permutation(k)
+    g_idx = (np.arange(k) // groupsize).astype(np.int32)[np.argsort(p)]
+    return PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=bits,
+                                  dtype=jnp.float32)
+
+
+def test_stack_layers_act_order_scans():
+    """Act-order checkpoints (unique per-layer perm_sig) must still stack:
+    _normalize_perm_sigs re-keys the aux digests, fusability stays encoded
+    (gate/up combined sigs equal iff equal in every layer), and the scanned
+    matmul matches the per-layer loop."""
+    from gptq_for_llama_tpu.ops.linear import PackedLinear, linear_apply
+    from gptq_for_llama_tpu.runtime.runner import stack_layers
+
+    k, n, bits, gs = 64, 64, 4, 16
+    # gate/up share the per-layer permutation (fusable), layers differ
+    layers = [{"gate": _act_order_packed(k, n, bits, gs, seed=li, perm_seed=li),
+               "up": _act_order_packed(k, n, bits, gs, seed=li + 7,
+                                       perm_seed=li)}
+              for li in range(3)]
+    assert all(lp["gate"].perm is not None for lp in layers)
+    sigs = {lp["gate"].perm_sig for lp in layers}
+    assert len(sigs) == 3  # unique per layer: raw treedefs would mismatch
+
+    stacked = stack_layers(layers)
+    assert stacked is not None, "act-order layers must take the scan path"
+    assert stacked["gate"].perm_sig == stacked["up"].perm_sig
+
+    # numeric: lax.scan over the stacked tree == per-layer python loop
+    x = jnp.asarray(np.random.RandomState(0).standard_normal((2, k)),
+                    jnp.float32)
+
+    def body(c, lp):
+        return linear_apply(lp["up"], linear_apply(lp["gate"], c)), None
+
+    scanned, _ = jax.lax.scan(body, x, stacked)
+    loop = x
+    for lp in layers:
+        loop = linear_apply(lp["up"], linear_apply(lp["gate"], loop))
+    np.testing.assert_allclose(np.asarray(scanned), np.asarray(loop),
+                               rtol=1e-5, atol=1e-5)
+
+    # a layer whose gate/up permutations DIFFER must break the combined
+    # equality (fused-MLP decision stays derivable from the jit cache key)
+    bad = [dict(lp) for lp in layers]
+    bad[1] = {"gate": bad[1]["gate"],
+              "up": _act_order_packed(k, n, bits, gs, seed=99, perm_seed=42)}
+    stacked_bad = stack_layers(bad)
+    assert stacked_bad is not None
+    assert stacked_bad["gate"].perm_sig != stacked_bad["up"].perm_sig
