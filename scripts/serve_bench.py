@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--max-len", type=int, default=256)
     ap.add_argument("--chunk", type=int, default=0,
                     help="prefill_chunk size (0 = bucketed whole-prompt)")
+    ap.add_argument("--grid", default="",
+                    help="slots:span:paged:kv rows, ';'-separated "
+                         "(e.g. '8:1:0:bf16;24:32:1:fp8') — overrides "
+                         "--slots/--span; one engine per row")
+    ap.add_argument("--json", default="",
+                    help="write aggregate rows to this JSON artifact")
     args = ap.parse_args()
 
     def stage(msg, _t=[time.perf_counter()]):
@@ -50,25 +56,54 @@ def main():
             max_new_tokens=args.max_new, temperature=0.0)
             for uid in range(n)]
 
-    for span in (1, args.span):
+    if args.grid:
+        grid = []
+        for row in args.grid.split(";"):
+            slots, span, paged, kv = row.split(":")
+            grid.append((int(slots), int(span), paged == "1", kv))
+    else:
+        grid = [(args.slots, s, False, "bf16") for s in (1, args.span)]
+
+    rows = []
+    for slots, span, paged, kv in grid:
         kw = dict(prefill_chunk=args.chunk) if args.chunk else {}
-        engine = ServingEngine("llama", cfg, params, batch_slots=args.slots,
+        if paged:
+            kw.update(paged=True, block_size=16)
+        if kv == "fp8":
+            kw.update(kv_dtype=jnp.float8_e4m3fn)
+        engine = ServingEngine("llama", cfg, params, batch_slots=slots,
                                max_seq_len=args.max_len,
                                prefill_buckets=(args.prompt_len,),
                                decode_span=span, **kw)
-        for r in requests(args.slots):  # warmup: compile prefill+decode(+span)
+        for r in requests(slots):  # warmup: compile prefill+decode(+span)
             engine.submit(r)
         engine.run()
-        stage(f"span={span}: warmed up (compiles done)")
-        for r in requests(args.reqs):
+        stage(f"slots={slots} span={span} paged={paged} kv={kv}: warmed up")
+        nreq = max(args.reqs, 2 * slots)
+        for r in requests(nreq):
             engine.submit(r)
         t0 = time.perf_counter()
         results = engine.run()
         dt = time.perf_counter() - t0
         total = sum(len(v) for v in results.values())
-        stage(f"span={span}: {total} tokens in {dt:.1f}s = "
-              f"{total / dt:.1f} tok/s aggregate "
-              f"({args.slots} slots, incl. prefills)")
+        rows.append({"slots": slots, "span": span, "paged": paged, "kv": kv,
+                     "reqs": nreq, "max_new": args.max_new,
+                     "prompt_len": args.prompt_len,
+                     "tokens": total, "seconds": round(dt, 2),
+                     "tok_per_s": round(total / dt, 1)})
+        stage(f"slots={slots} span={span} paged={paged} kv={kv}: "
+              f"{total} tokens in {dt:.1f}s = {total / dt:.1f} tok/s "
+              f"aggregate (incl. prefills)")
+        del engine
+
+    if args.json:
+        import json as _json
+        os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+        with open(args.json, "w") as f:
+            _json.dump({"note": "aggregate generated tok/s incl. prefill "
+                        "work, greedy, 7B INT4-g128 random-packed weights",
+                        "rows": rows}, f, indent=1)
+        print(_json.dumps({"rows": len(rows), "out": args.json}))
 
 
 if __name__ == "__main__":

@@ -62,3 +62,54 @@ def test_decode_attention_gqa(h, hkv):
         want = np.einsum("bhqs,bshd->bqhd", p, vv)
         np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3,
                                    err_msg=f"h={h} hkv={hkv} off={off}")
+
+
+def test_decode_attention_fp8_cache_interpret():
+    """fp8-stored caches through the Pallas decode kernel (interpret mode):
+    parity vs the upcast XLA fallback on identical fp8 values. On-chip
+    Mosaic compile+parity is captured by scripts/attn_onchip.py
+    (bench_artifacts/r04)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gptq_for_llama_tpu.ops.pallas.attention import decode_attention
+    from gptq_for_llama_tpu.models.common import sdpa, decode_mask
+
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 256, 8, 128
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)) * 0.5,
+                    jnp.float8_e4m3fn)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)) * 0.5,
+                    jnp.float8_e4m3fn)
+    off = jnp.asarray([100, 200], jnp.int32)
+    got = np.asarray(decode_attention(q, k, v, off, 0.0884, interpret=True))
+    want = np.asarray(sdpa(q, k, v, decode_mask(1, s, off), 0.0884))
+    np.testing.assert_allclose(got.astype(np.float32),
+                               want.astype(np.float32), atol=2e-2)
+
+
+def test_pool_decode_attention_fp8_interpret():
+    import jax.numpy as jnp
+    import numpy as np
+    from gptq_for_llama_tpu.ops.pallas.attention import pool_decode_attention
+    from gptq_for_llama_tpu.models.common import sdpa, decode_mask
+
+    rng = np.random.default_rng(4)
+    b, mb, bs, h, d = 2, 4, 16, 8, 128
+    nb = b * mb
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((nb, bs, h, d)) * 0.5,
+                     jnp.float8_e4m3fn)
+    vp = jnp.asarray(rng.standard_normal((nb, bs, h, d)) * 0.5,
+                     jnp.float8_e4m3fn)
+    tables = jnp.asarray(rng.permutation(nb).reshape(b, mb), jnp.int32)
+    off = jnp.asarray([30, 60], jnp.int32)
+    got = np.asarray(pool_decode_attention(q, kp, vp, tables, off, 0.0884,
+                                           interpret=True))
+    kd = np.asarray(kp)[np.asarray(tables)].reshape(b, mb * bs, h, d)
+    vd = np.asarray(vp)[np.asarray(tables)].reshape(b, mb * bs, h, d)
+    want = np.asarray(sdpa(q, jnp.asarray(kd), jnp.asarray(vd),
+                           decode_mask(1, mb * bs, off), 0.0884))
+    np.testing.assert_allclose(got.reshape(want.shape).astype(np.float32),
+                               want.astype(np.float32), atol=2e-2)
