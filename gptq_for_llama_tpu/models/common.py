@@ -202,9 +202,12 @@ def _attn_impl(cache_dtype):
 
     GPTQ_TPU_ATTN_IMPL: 'pallas' forces kernels (interpret off-TPU),
     'xla' forces the fallback, '' auto (kernels on TPU). fp8-stored caches
-    stay on the XLA path until Mosaic fp8 sub-min-tile loads are validated
-    on real hardware (fp8 min tile is (32,128) sublanes vs our ht<=32 head
-    blocks — see scripts/r02_onchip.sh); GPTQ_TPU_ATTN_FP8=1 opts in."""
+    stay on the XLA path BY MEASUREMENT (v5e, bench_artifacts/r04/
+    attn_validate.json): the Mosaic fp8->f32 upcast dominates the kernels —
+    fp8 GQA decode 772 us vs 732 XLA, fp8 paged 1836 vs 755 — and the dense
+    MHA fp8 kernel does not compile at seq_block 256 (tpu_compile_helper
+    crash). fp8's value is cache MEMORY (2x pool capacity), not decode
+    speed; GPTQ_TPU_ATTN_FP8=1 opts the kernels in anyway."""
     import os
     forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
     use = forced == "pallas" or (forced != "xla"
