@@ -132,6 +132,26 @@ def apply_kv_cache(past_kv, k, v):
     """
     if past_kv is None:
         return k, v, (k, v), None
+    if past_kv[0] == "fresh":
+        # batched admission prefill: every masked slot's prompt starts at
+        # cache position 0 (runtime/serve.py _admit batching). The cache is
+        # WRITTEN under the mask, but attention reads only the fresh chunk —
+        # nothing earlier exists for these rows — so the scalar offset-0
+        # declaration dispatches the chunked/blocked prefill paths in sdpa.
+        _, ck, cv, wmask = past_kv
+        zero = jnp.zeros((k.shape[0],), jnp.int32)
+        ck, cv = update_kv_cache(ck, cv, k, v, zero, write_mask=wmask)
+        return k, v, (ck, cv), jnp.int32(0)
+    if past_kv[0] == "fresh_paged":
+        # paged twin: masked rows write their prompt's whole blocks through
+        # their table row; unmasked rows are redirected to the reserved
+        # scratch block (paged_update_layer write_mask, s > 1 branch).
+        _, kp, vp, tables, wmask = past_kv
+        from ..runtime.paged import paged_update_layer
+        kp, vp, _, _ = paged_update_layer(kp, vp, k, v, tables,
+                                          jnp.zeros((k.shape[0],), jnp.int32),
+                                          write_mask=wmask, gather=False)
+        return k, v, (kp, vp), jnp.int32(0)
     if past_kv[0] == "grouped":
         # token-fused serving step: rows 0..B-1 are one decode token per slot,
         # rows B.. are a prompt chunk for slot `slot` starting at off0. ONE

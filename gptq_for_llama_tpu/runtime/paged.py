@@ -121,7 +121,9 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None,
     (None, None) with gather=False (pool-native attention reads the blocks
     directly — ops/pallas/attention.paged_decode_attention).
     write_mask: optional (B,) bool — rows with False keep their existing pool
-    contents (decode alongside mid-prefill slots must not clobber them).
+    contents (decode alongside mid-prefill slots must not clobber them). In
+    the s > 1 (prefill) branch masked-off rows are redirected to the reserved
+    scratch block 0 (batched admission; the pool must carry that block).
     """
     b, s, h, d = k_new.shape
     bs = kp.shape[1]
@@ -164,6 +166,12 @@ def paged_update_layer(kp, vp, k_new, v_new, tables, offset, write_mask=None,
             base = offv[bi] // bs
             for j in range(nblk):
                 phys = jax.lax.dynamic_slice(tables, (bi, base + j), (1, 1))[0, 0]
+                if write_mask is not None:
+                    # masked prefill rows (batched admission): redirect the
+                    # write to the reserved scratch block 0 instead of the
+                    # slot's real blocks — requires a pool with a reserved
+                    # scratch block (ServingEngine paged mode always has one)
+                    phys = jnp.where(write_mask[bi], phys, 0)
                 kpl = jax.lax.dynamic_update_slice(
                     kpl, kc[bi, j][None], (phys, 0, 0, 0))
                 vpl = jax.lax.dynamic_update_slice(

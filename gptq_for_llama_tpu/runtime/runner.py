@@ -388,7 +388,13 @@ class ModelRunner:
         semantics, sliced per span by the host). Returns
         (tokens (B, steps), last_logits, cache, key).
         """
-        cache_key = ("sample", steps, int(top_k), eos_id is not None)
+        # static sampling fast path, derived from the HOST-side values (one
+        # compile per mode at most): all-greedy spans skip the in-scan
+        # full-vocab sort entirely; unfiltered sampling skips the sort too
+        t_np, p_np = np.asarray(temperature), np.asarray(top_p)
+        mode = ("greedy" if (t_np == 0).all() else
+                "categorical" if top_k == 0 and (p_np >= 1).all() else None)
+        cache_key = ("sample", steps, int(top_k), eos_id is not None, mode)
         if cache_key not in self._decode_scan_cache:
             step = self._step_fn(1)
             has_eos = eos_id is not None
@@ -405,7 +411,8 @@ class ModelRunner:
                             (jnp.arange(lg.shape[-1])[None, :] == eos)
                             & (i < min_left), -jnp.inf, lg)
                     tok = sample_logits(lg, sub, temperature, top_p,
-                                        top_k).astype(jnp.int32)[:, None]
+                                        top_k, mode=mode
+                                        ).astype(jnp.int32)[:, None]
                     logits, cache = step(sp, tok, cache)
                     return (logits[:, -1], cache, key), tok[:, 0]
 
@@ -475,20 +482,39 @@ class ModelRunner:
 # sampling (reference llama_inference.py:119-127 flags: top_p/temperature/min len)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("top_k",))
-def sample_logits(logits, key, temperature, top_p, top_k: int = 0):
+@partial(jax.jit, static_argnames=("top_k", "mode"))
+def sample_logits(logits, key, temperature, top_p, top_k: int = 0,
+                  mode: Optional[str] = None):
     """Temperature + nucleus (top-p) + optional top-k sampling; (B, V) -> (B,).
 
     temperature/top_p may be scalars or per-row (B,) arrays (continuous
-    batching samples every slot with its own params in ONE call)."""
+    batching samples every slot with its own params in ONE call).
+
+    mode is a STATIC host-side promise that skips the full-vocab descending
+    sort (the dominant cost of this function on TPU — a 32k-wide sort per
+    step), legal only when the host KNOWS the traced params satisfy it:
+      "greedy"      every row it cares about has temperature == 0 -> argmax.
+      "categorical" top_k == 0 and every top_p >= 1 -> no tail filtering;
+                    temperature-scaled categorical (rows with temperature 0
+                    still take the argmax, as in the general path).
+      None          the general sort + top-k/top-p filter path.
+    Results for the promised rows are identical to mode=None (the top-p
+    cutoff keeps >= 1 token per row and at top_p >= 1 drops nothing)."""
     logits = logits.astype(jnp.float32)
     b = logits.shape[0]
     greedy = jnp.argmax(logits, axis=-1)
+    if mode == "greedy":
+        return greedy
     temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (b,))
     top_p = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))
 
     t = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / t
+    if mode == "categorical":
+        if top_k:
+            raise ValueError("mode='categorical' requires top_k == 0")
+        sampled = jax.random.categorical(key, scaled, axis=-1)
+        return jnp.where(temperature == 0.0, greedy, sampled)
     # one descending sort serves both the top-k threshold and the top-p scan
     sorted_logits = jnp.sort(scaled, axis=-1)[:, ::-1]
     if top_k and top_k > 0:

@@ -19,6 +19,7 @@ sequences. Design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Optional
 
@@ -190,11 +191,16 @@ class ServingEngine:
         # Sequences may overshoot eos/max_new by up to span-1 tokens on
         # device; the host trims them (same results as span=1).
         self.decode_span = max(1, int(decode_span))
-        self._decode_span_fn = None
+        self._decode_span_fns = {}
         # chunked prefill + decode fused into ONE program (one dispatch): the
         # pending slot's next chunk and a decode token for every live slot
         # ride the same compiled step (PARITY known-gap closed)
         self.fused_chunk_decode = bool(fused_chunk_decode)
+        # batched admission: same-bucket admissions share one prefill program
+        # up to this bucket size (beyond it the batched program's masked
+        # attention transient (B, H, blen, blen) outweighs saved dispatches)
+        self.admit_batch_max = int(os.environ.get(
+            "GPTQ_TPU_ADMIT_BATCH_MAX", "128"))
         self._chunk_decode_fn = None
         self._prefills = {}
         self.slots = [_Slot() for _ in range(batch_slots)]
@@ -239,12 +245,15 @@ class ServingEngine:
             out_specs=out, check_vma=False))
 
     def _layers(self, sp, x, positions, mask, k_cache, v_cache, offsets,
-                tables=None, write_mask=None):
+                tables=None, write_mask=None, fresh=False):
         arch, cfg = self.arch, self._model_cfg()
         tp_ctx = self._tp_ctx()
         rope = arch.step_rope(cfg, positions, self.dtype)
 
         def past(ck, cv):
+            if fresh:  # batched admission: all rows prefill from position 0
+                return ("fresh", ck, cv, write_mask) if tables is None else \
+                    ("fresh_paged", ck, cv, tables, write_mask)
             if tables is None:
                 return (ck, cv, offsets) if write_mask is None else \
                     (ck, cv, offsets, write_mask)
@@ -293,9 +302,22 @@ class ServingEngine:
 
         return step  # jitted once by __init__
 
-    def _get_decode_span(self):
-        if self._decode_span_fn is not None:
-            return self._decode_span_fn
+    def _sample_mode(self, state):
+        """STATIC sampling fast path for the next dispatch, from the host-side
+        params of the slots whose tokens will be kept (live ones): all-greedy
+        batches skip sample_logits' full-vocab sort (the 32k-wide in-program
+        sort was a measurable slice of the serving step). At most one extra
+        compile per mode (3 total) per step shape."""
+        live = state["live"]
+        if not live.any() or (state["temps"][live] == 0).all():
+            return "greedy"
+        if (state["tops"][live] >= 1).all():
+            return "categorical"
+        return None
+
+    def _get_decode_span(self, mode=None):
+        if mode in self._decode_span_fns:
+            return self._decode_span_fns[mode]
         base = self._decode_step_fn
         span = self.decode_span
 
@@ -312,7 +334,8 @@ class ServingEngine:
                     logits = jax.lax.all_gather(logits, tp_axis,
                                                 axis=logits.ndim - 1,
                                                 tiled=True)
-                nxt = sample_logits(logits, sub, temps, tops).astype(jnp.int32)
+                nxt = sample_logits(logits, sub, temps, tops,
+                                    mode=mode).astype(jnp.int32)
                 nxt = jnp.where(live, nxt, toks[:, 0])  # dead slots: repeat
                 return (nxt[:, None], k, v, off), nxt
 
@@ -325,13 +348,13 @@ class ServingEngine:
 
         if self._tp is not None:
             cache = self._cache_pspec()
-            self._decode_span_fn = self._jit_tp(
+            self._decode_span_fns[mode] = self._jit_tp(
                 run_span,
                 rest_in=(P(), cache, cache, P(), P(), P(), P(), P(), P()),
                 out=(P(), cache, cache, P()))
         else:
-            self._decode_span_fn = jax.jit(run_span)
-        return self._decode_span_fn
+            self._decode_span_fns[mode] = jax.jit(run_span)
+        return self._decode_span_fns[mode]
 
     def _get_prefill(self, blen: int):
         if blen in self._prefills:
@@ -380,6 +403,39 @@ class ServingEngine:
         else:
             self._prefills[blen] = jax.jit(fn)
         return self._prefills[blen]
+
+    def _get_admit_prefill(self, blen: int):
+        """Batched admission prefill: ONE program prefills every admitted
+        slot's (right-padded) prompt at cache position 0. Non-admitted rows
+        are write-masked; attention sees only the fresh chunk (causal)."""
+        key = ("admit", blen)
+        if key in self._prefills:
+            return self._prefills[key]
+        arch, cfg = self.arch, self._model_cfg()
+        from ..models.common import causal_mask
+
+        def admit(sp, ids, k_cache, v_cache, tables, admit_mask, true_lens):
+            positions = jnp.arange(blen)[None, :]
+            mask = causal_mask(blen, blen)
+            x = arch.embed(sp["statics"], cfg, ids, positions).astype(self.dtype)
+            x, k2, v2 = self._layers(sp, x, positions, mask, k_cache, v_cache,
+                                     None, tables=tables,
+                                     write_mask=admit_mask, fresh=True)
+            # head on the last REAL hidden state per row only (one (B, V)
+            # GEMM instead of (B, blen, V))
+            x_last = jnp.take_along_axis(
+                x, (true_lens - 1)[:, None, None].astype(jnp.int32), axis=1)
+            logits = arch.head(sp["statics"], cfg, x_last)[:, 0]
+            return logits, k2, v2
+
+        if self._tp is not None:
+            cache = self._cache_pspec()
+            self._prefills[key] = self._jit_tp(
+                admit, rest_in=(P(), cache, cache, P(), P(), P()),
+                out=(self._vocab_pspec(), cache, cache))
+        else:
+            self._prefills[key] = jax.jit(admit)
+        return self._prefills[key]
 
     def _get_chunk_prefill(self):
         """One compiled fn for every prompt chunk: runs `prefill_chunk` tokens
@@ -499,6 +555,12 @@ class ServingEngine:
             self._chunk_decode_fn = jax.jit(fused)
         return self._chunk_decode_fn
 
+    @staticmethod
+    def _req_mode(req):
+        """Static sampling fast path for one request's prefill-tail token."""
+        return ("greedy" if req.temperature == 0 else
+                "categorical" if req.top_p >= 1 else None)
+
     def _pick_pending(self, state):
         """Next pending chunk: (i, slot, ids, off0, last_idx)."""
         for i, slot in enumerate(self.slots):
@@ -517,8 +579,8 @@ class ServingEngine:
         if slot.ppos >= len(slot.pending):  # prompt complete: activate
             req = slot.req
             self._key, sub = jax.random.split(self._key)
-            tok = int(sample_logits(last, sub, req.temperature,
-                                    req.top_p)[0])
+            tok = int(sample_logits(last, sub, req.temperature, req.top_p,
+                                    mode=self._req_mode(req))[0])
             slot.pending = None
             state["host_off"][i] = slot.plen
             state["temps"][i] = req.temperature
@@ -613,8 +675,11 @@ class ServingEngine:
                 "latency_p50_s": pct(lat, 50), "latency_p95_s": pct(lat, 95)}
 
     def _admit(self, state):
-        """Fill free slots from the queue (one prefill per free slot)."""
-        k_cache, v_cache, offsets = state["k"], state["v"], state["off"]
+        """Fill free slots from the queue. Admissions that share a prefill
+        bucket run as ONE batched program (`_admit_batched`) — one host
+        dispatch instead of one per slot (each costs ~20-30 ms through the
+        relay, so a 24-slot backfill wave was 24 dispatches)."""
+        picks = []
         for i, slot in enumerate(self.slots):
             if not slot.done or not self.queue:
                 continue
@@ -661,31 +726,74 @@ class ServingEngine:
                 slot.generated = []
                 slot.done = False
                 continue
-            blen = _bucket(len(prompt), self.buckets)
-            padded = np.zeros((1, blen), np.int32)
-            padded[0, :len(prompt)] = prompt
-            fn = self._get_prefill(blen)
-            if self.paged:
-                last, k_cache, v_cache = fn(
-                    self._sp, jnp.asarray(padded), k_cache, v_cache,
-                    state["tables"][i], jnp.int32(len(prompt)))
+            picks.append((i, req, prompt))
+        if not picks:
+            return
+        groups: dict[int, list] = {}
+        for pick in picks:
+            groups.setdefault(_bucket(len(pick[2]), self.buckets),
+                              []).append(pick)
+        for blen in sorted(groups):
+            group = groups[blen]
+            if len(group) > 1 and blen <= self.admit_batch_max:
+                self._admit_batched(state, blen, group)
             else:
-                last, k_cache, v_cache = fn(
-                    self._sp, jnp.asarray(padded), k_cache, v_cache,
-                    jnp.int32(i), jnp.int32(len(prompt)))
-            self._key, sub = jax.random.split(self._key)
-            tok = int(sample_logits(last, sub, req.temperature, req.top_p)[0])
-            slot.req = req
-            state["host_off"][i] = len(prompt)
-            state["temps"][i] = req.temperature
-            state["tops"][i] = req.top_p
-            offsets = offsets.at[i].set(len(prompt))
-            if self._activate(slot, req, tok):
-                state["toks"][i] = tok
-                state["live"][i] = True
-            else:
-                state["live"][i] = False
-        state["k"], state["v"], state["off"] = k_cache, v_cache, offsets
+                for pick in group:
+                    self._admit_one(state, blen, *pick)
+
+    def _finish_admit(self, state, i, slot, req, plen, tok):
+        slot.req = req
+        state["host_off"][i] = plen
+        state["temps"][i] = req.temperature
+        state["tops"][i] = req.top_p
+        state["off"] = state["off"].at[i].set(plen)
+        if self._activate(slot, req, tok):
+            state["toks"][i] = tok
+            state["live"][i] = True
+        else:
+            state["live"][i] = False
+
+    def _admit_one(self, state, blen, i, req, prompt):
+        padded = np.zeros((1, blen), np.int32)
+        padded[0, :len(prompt)] = prompt
+        fn = self._get_prefill(blen)
+        slotarg = state["tables"][i] if self.paged else jnp.int32(i)
+        last, state["k"], state["v"] = fn(
+            self._sp, jnp.asarray(padded), state["k"], state["v"],
+            slotarg, jnp.int32(len(prompt)))
+        self._key, sub = jax.random.split(self._key)
+        tok = int(sample_logits(last, sub, req.temperature, req.top_p,
+                                mode=self._req_mode(req))[0])
+        self._finish_admit(state, i, self.slots[i], req, len(prompt), tok)
+
+    def _admit_batched(self, state, blen, group):
+        """Prefill every (slot, req, prompt) in `group` in ONE program: all
+        prompts start at cache position 0; non-member rows' caches are
+        write-masked (dense) or scratch-redirected (paged)."""
+        ids = np.zeros((self.b, blen), np.int32)
+        admit = np.zeros((self.b,), bool)
+        lens = np.ones((self.b,), np.int32)
+        for i, req, prompt in group:
+            ids[i, :len(prompt)] = prompt
+            admit[i] = True
+            lens[i] = len(prompt)
+        fn = self._get_admit_prefill(blen)
+        logits, state["k"], state["v"] = fn(
+            self._sp, jnp.asarray(ids), state["k"], state["v"],
+            state["tables"], jnp.asarray(admit), jnp.asarray(lens))
+        temps = np.array([0.0] * self.b, np.float32)
+        tops = np.ones((self.b,), np.float32)
+        for i, req, _ in group:
+            temps[i], tops[i] = req.temperature, req.top_p
+        mode = ("greedy" if all(r.temperature == 0 for _, r, _ in group)
+                else "categorical"
+                if all(r.top_p >= 1 for _, r, _ in group) else None)
+        self._key, sub = jax.random.split(self._key)
+        toks = np.asarray(sample_logits(logits, sub, jnp.asarray(temps),
+                                        jnp.asarray(tops), mode=mode))
+        for i, req, prompt in group:
+            self._finish_admit(state, i, self.slots[i], req, len(prompt),
+                               int(toks[i]))
 
     def run(self, log=None) -> dict[int, np.ndarray]:
         """Drain the queue; returns {uid: generated token array}."""
@@ -749,6 +857,7 @@ class ServingEngine:
                     span = 1
             live_j = jnp.asarray(state["live"])
             self._key, sub = jax.random.split(self._key)
+            mode = self._sample_mode(state)
             if fused_chunk is not None:
                 # chunk + decode in ONE program (one dispatch); the fused
                 # path takes the slot INDEX in both modes (the paged branch
@@ -765,10 +874,10 @@ class ServingEngine:
                 fused_done = (i, slot, clast)
                 toks_np2 = np.asarray(sample_logits(
                     logits, sub, jnp.asarray(state["temps"]),
-                    jnp.asarray(state["tops"]))).reshape(-1, 1)
+                    jnp.asarray(state["tops"]), mode=mode)).reshape(-1, 1)
             elif span > 1:
                 toks_span, state["k"], state["v"], state["off"] = \
-                    self._get_decode_span()(
+                    self._get_decode_span(mode)(
                         self._sp, jnp.asarray(state["toks"][:, None]),
                         state["k"], state["v"], state["off"], live_j,
                         state["tables"], jnp.asarray(state["temps"]),
@@ -780,7 +889,7 @@ class ServingEngine:
                     state["v"], state["off"], live_j, state["tables"])
                 toks_np2 = np.asarray(sample_logits(
                     logits, sub, jnp.asarray(state["temps"]),
-                    jnp.asarray(state["tops"]))).reshape(-1, 1)
+                    jnp.asarray(state["tops"]), mode=mode)).reshape(-1, 1)
             for j in range(toks_np2.shape[1]):
                 for i, slot in enumerate(self.slots):
                     if slot.done or not state["live"][i]:

@@ -119,6 +119,15 @@ VARIANTS = {
     "unroll_xla_attn": {"unroll": True, "list_params": True, "xla_attn": True},
     "unroll_tok2": {"unroll": True, "list_params": True, "scan_unroll": 2},
     "unroll_tok4": {"unroll": True, "list_params": True, "scan_unroll": 4},
+    "unroll_tok8": {"unroll": True, "list_params": True, "scan_unroll": 8},
+    "unroll_nonorms": {"unroll": True, "list_params": True, "norms": False},
+    "unroll_norope": {"unroll": True, "list_params": True, "rope": False},
+    "unroll_tok8_noattn": {"unroll": True, "list_params": True,
+                           "scan_unroll": 8, "attn": False},
+    "unroll_tok8_xla_attn": {"unroll": True, "list_params": True,
+                             "scan_unroll": 8, "xla_attn": True},
+    "unroll_tok8_nohead": {"unroll": True, "list_params": True,
+                           "scan_unroll": 8, "head": False},
     "xla_attn": {"xla_attn": True},
 }
 BASE.update(unroll=False, list_params=False, xla_attn=False)

@@ -87,6 +87,37 @@ def test_sampling_top_p_restricts_support():
     assert int(sample_logits(logits, key, 0.0, 1.0)[0]) == 0
 
 
+def test_sampling_mode_fast_paths_match_general():
+    """Static mode promises ('greedy'/'categorical') must reproduce the
+    general sort+filter path exactly on inputs that satisfy them."""
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32) * 3)
+    key = jax.random.PRNGKey(5)
+    temps0 = jnp.zeros((4,), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temps0, 1.0, mode="greedy")),
+        np.asarray(sample_logits(logits, key, temps0, 1.0)))
+    temps = jnp.asarray([0.0, 0.7, 1.3, 2.0], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(sample_logits(logits, key, temps, 1.0,
+                                 mode="categorical")),
+        np.asarray(sample_logits(logits, key, temps, 1.0)))
+
+
+def test_serving_sample_mode_selection():
+    from gptq_for_llama_tpu.runtime.serve import ServingEngine
+    live = np.array([True, False, True])
+    state = {"live": live, "temps": np.array([0.0, 0.9, 0.0]),
+             "tops": np.array([1.0, 0.5, 1.0])}
+    assert ServingEngine._sample_mode(None, state) == "greedy"
+    state["temps"][2] = 0.5
+    assert ServingEngine._sample_mode(None, state) == "categorical"
+    state["tops"][2] = 0.9
+    assert ServingEngine._sample_mode(None, state) is None
+    state["live"][:] = False  # nothing live: tokens are discarded anyway
+    assert ServingEngine._sample_mode(None, state) == "greedy"
+
+
 def test_decode_greedy_scan_matches_stepwise():
     cfg = _tiny_cfg()
     params = _params(cfg)

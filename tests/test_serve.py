@@ -365,3 +365,46 @@ def test_first_token_retirement_and_submit_validation():
                          block_size=8, num_blocks=2)
     with pytest.raises(ValueError, match="KV blocks"):
         eng3.submit(GenRequest(uid=9, prompt=p, max_new_tokens=24))
+
+
+def test_batched_admission_runs_and_matches_per_slot(monkeypatch):
+    """A backfill wave of same-bucket admissions runs through ONE batched
+    prefill program and produces the same greedy results as per-slot
+    admission (GPTQ_TPU_ADMIT_BATCH_MAX=0 disables batching)."""
+    cfg, params = _setup()
+    prompts = [np.array([1, 2, 3], np.int32),
+               np.array([5, 6], np.int32),
+               np.array([9, 8, 7, 6, 5], np.int32),
+               np.array([4], np.int32)]
+
+    def run(batched: bool):
+        if not batched:
+            monkeypatch.setenv("GPTQ_TPU_ADMIT_BATCH_MAX", "0")
+        else:
+            monkeypatch.delenv("GPTQ_TPU_ADMIT_BATCH_MAX", raising=False)
+        eng = ServingEngine("llama", cfg, params, batch_slots=4,
+                            max_seq_len=32, dtype=jnp.float32,
+                            prefill_buckets=(8,))
+        calls = {"batched": 0, "single": 0}
+        orig_b, orig_s = eng._admit_batched, eng._admit_one
+
+        def count_b(*a, **k):
+            calls["batched"] += 1
+            return orig_b(*a, **k)
+
+        def count_s(*a, **k):
+            calls["single"] += 1
+            return orig_s(*a, **k)
+        monkeypatch.setattr(eng, "_admit_batched", count_b)
+        monkeypatch.setattr(eng, "_admit_one", count_s)
+        for uid, p in enumerate(prompts):
+            eng.submit(GenRequest(uid=uid, prompt=p, max_new_tokens=5,
+                                  temperature=0.0))
+        return eng.run(), calls
+
+    got_b, calls_b = run(batched=True)
+    got_s, calls_s = run(batched=False)
+    assert calls_b["batched"] == 1 and calls_b["single"] == 0
+    assert calls_s["batched"] == 0 and calls_s["single"] == 4
+    for uid in range(len(prompts)):
+        np.testing.assert_array_equal(got_b[uid], got_s[uid])
