@@ -52,7 +52,11 @@ def make_step(cfg, max_len, flags):
             q, k = apply_rope(q, k, cos, sin)
         if f["cache"]:
             ck, cv = update_kv_cache(ck, cv, k, v, offset)
-            if f["attn"]:
+            if f.get("attn_fresh"):
+                # cache WRITE kept, but attention reads only the fresh token:
+                # isolates cache-READ traffic/copies from the attention op
+                attn_out = sdpa(q, k, v, None)
+            elif f["attn"]:
                 attn_out = sdpa(q, ck, cv, None, decode_offset=offset)
             else:
                 attn_out = q
@@ -128,6 +132,8 @@ VARIANTS = {
                              "scan_unroll": 8, "xla_attn": True},
     "unroll_tok8_nohead": {"unroll": True, "list_params": True,
                            "scan_unroll": 8, "head": False},
+    "unroll_tok8_freshattn": {"unroll": True, "list_params": True,
+                              "scan_unroll": 8, "attn_fresh": True},
     "xla_attn": {"xla_attn": True},
 }
 BASE.update(unroll=False, list_params=False, xla_attn=False)
