@@ -256,6 +256,15 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
     prefills to the VMEM-resident flash kernel on TPU.
     """
     b, sq, h, d = q.shape
+    if sq == 1 and decode_offset is not None \
+            and not isinstance(decode_offset, tuple) \
+            and not isinstance(k, tuple):
+        import os
+        if os.environ.get("GPTQ_TPU_ATTN_IMPL") == "skip":
+            # decomposition probes ONLY (scripts/attn13b_probe.py): removes
+            # the decode-attention op so its in-model cost can be isolated;
+            # output is q (right shape, wrong values)
+            return q
     if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
         # token-fused serving step (see apply_kv_cache "grouped"): split the
         # flat token rows into the per-slot decode group and the one-slot

@@ -26,7 +26,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SEQ_BLOCK = 256
+_VMEM_BUDGET = 6 * 1024 * 1024  # k+v blocks, double-buffered
+
+
+def _seq_block(s: int) -> int:
+    """Seq rows per KV block. 128 preferred over 256: it halves the minimum
+    live-prefix read at short contexts (bench/serving run max_len 256, live
+    16-128) while long contexts lose nothing — steps past the live prefix
+    clamp to the same block and their DMAs are elided."""
+    for bs in (128, 64):
+        if s % bs == 0:
+            return bs
+    return s
 
 
 def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
@@ -67,28 +78,35 @@ def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
         o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
-def _gqa_blocks(num_heads: int, num_kv_heads: int):
+def _gqa_blocks(num_heads: int, num_kv_heads: int, seq_block: int = 64,
+                head_dim: int = 128, itemsize: int = 2):
     """(ht kv-heads per block, G q-heads per kv head) or None.
 
     The q block covers ht*G contiguous q heads (q head order is kv-major:
-    h = kvh*G + g), so ht*G must be sublane-friendly (multiple of 8, <= 32)
-    and ht must divide num_kv_heads."""
+    h = kvh*G + g), so ht*G must be sublane-friendly (multiple of 8, <= 64)
+    and ht must divide num_kv_heads. Picks the LARGEST ht whose k+v blocks
+    (double-buffered) fit the VMEM budget: covering every head in ONE grid
+    step drops the per-step fixed cost that dominated odd head counts (13B
+    h=40 used to run 5 sequential ht=8 steps per layer)."""
     if num_heads % num_kv_heads:
         return None
     g = num_heads // num_kv_heads
-    for ht in (32, 16, 8, 4, 2, 1):
-        if num_kv_heads % ht:
+    for ht in sorted({num_kv_heads, 32, 16, 8, 4, 2, 1}, reverse=True):
+        if ht > num_kv_heads or num_kv_heads % ht:
             continue
         htq = ht * g
-        if htq <= 32 and htq % 8 == 0:
-            return ht, g
+        if htq > 64 or htq % 8:
+            continue
+        if 4 * seq_block * ht * head_dim * itemsize > _VMEM_BUDGET:
+            continue
+        return ht, g
     return None
 
 
 def supports_decode_attention(q_len: int, num_heads: int, num_kv_heads: int,
                               head_dim: int) -> bool:
     return (q_len == 1 and head_dim % 128 == 0
-            and _gqa_blocks(num_heads, num_kv_heads) is not None)
+            and _gqa_blocks(num_heads, num_kv_heads, 64, head_dim) is not None)
 
 
 def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
@@ -142,7 +160,8 @@ def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
 def supports_paged_decode(block_size: int, num_heads: int, num_kv_heads: int,
                           head_dim: int) -> bool:
     return (block_size % 8 == 0 and head_dim % 128 == 0
-            and _gqa_blocks(num_heads, num_kv_heads) is not None)
+            and _gqa_blocks(num_heads, num_kv_heads, block_size,
+                            head_dim) is not None)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -165,7 +184,7 @@ def pool_decode_attention(q, k_pool, v_pool, tables, offset,
     hkv = k_pool.shape[2]
     bs = k_pool.shape[1]
     mb = tables.shape[1]
-    ht, g = _gqa_blocks(h, hkv)
+    ht, g = _gqa_blocks(h, hkv, bs, d, k_pool.dtype.itemsize)
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
     tabs = jnp.asarray(tables, jnp.int32)
 
@@ -222,8 +241,8 @@ def decode_attention(q, k_cache, v_cache, offset, scale: float,
     b, _, h, d = q.shape
     hkv = k_cache.shape[2]
     s = k_cache.shape[1]
-    ht, g = _gqa_blocks(h, hkv)
-    bs = _SEQ_BLOCK if s % _SEQ_BLOCK == 0 else s
+    bs = _seq_block(s)
+    ht, g = _gqa_blocks(h, hkv, bs, d, k_cache.dtype.itemsize)
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
 
     def kv_map(bi, hi, si, off_ref):

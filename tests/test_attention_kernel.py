@@ -34,9 +34,28 @@ def test_supports_gates():
     assert not supports_decode_attention(2, 32, 32, 128)   # prefill
     assert supports_decode_attention(1, 32, 8, 128)        # GQA kernel
     assert not supports_decode_attention(1, 32, 32, 64)    # head_dim < 128
+    assert supports_decode_attention(1, 40, 40, 128)       # 13B odd heads
 
 
-@pytest.mark.parametrize("h,hkv", [(32, 8), (8, 1), (16, 2)])
+def test_decode_attention_odd_heads_multi_block():
+    """13B head layout (h=hkv=40): one ht=40 head block per grid step, seq
+    blocked at 128 (s=256 -> 2 blocks) so the live-prefix clamp and the
+    online-softmax block accumulation are both exercised."""
+    from gptq_for_llama_tpu.ops.pallas.attention import _gqa_blocks
+    assert _gqa_blocks(40, 40, 128, 128) == (40, 1)
+    b, s, h, d = 2, 256, 40, 128
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    for off in (jnp.int32(16), jnp.asarray([30, 200], jnp.int32)):
+        got = np.asarray(decode_attention(q, k, v, off, 1.0 / d ** 0.5,
+                                          interpret=True))
+        want = np.asarray(sdpa(q, k, v, decode_mask(1, s, off)))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("h,hkv", [(32, 8), (8, 1), (16, 2), (64, 8)])
 def test_decode_attention_gqa(h, hkv):
     """GQA decode kernel: the cache is read once per kv head for all G query
     heads (the XLA fallback repeats it G times)."""
