@@ -41,7 +41,7 @@ def build_cfg(tiny: bool):
                        num_kv_heads=32, head_dim=128, max_seq_len=2048)
 
 
-def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
+def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False, bits=4):
     """Random weights directly in packed wire layout (fast: no pack step)."""
     import jax.numpy as jnp
     from gptq_for_llama_tpu.ops.linear import PackedLinear, dense
@@ -58,17 +58,28 @@ def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
             return shape_cache[(k, n)]
         kp = -(-k // (8 * groupsize)) * (8 * groupsize)  # kernel K padding
         g = kp // groupsize
-        qweight = rng.randint(-2**31, 2**31, size=(kp * 4 // 32, n),
-                              dtype=np.int32)
+        from gptq_for_llama_tpu.quant import packing
+        if bits == 4:
+            qweight = rng.randint(-2**31, 2**31, size=(kp * bits // 32, n),
+                                  dtype=np.int32)
+        else:
+            # non-nibble widths (BENCH_BITS=2/3/8): random wire words through
+            # the real layout transform (3-bit = bit-plane split) so the
+            # kernel sees exactly what a loaded checkpoint produces
+            wire = rng.randint(-2**31, 2**31, size=(kp * bits // 32, n),
+                               dtype=np.int32)
+            qweight = packing.to_tpu_layout(wire, bits, groupsize)
         scales = (rng.rand(g, n).astype(np.float32) * 0.004 + 0.001)
         from gptq_for_llama_tpu.ops.linear import HostBuf
         lin = PackedLinear(
             qweight=jnp.asarray(qweight),
-            qzeros=HostBuf(np.zeros((k // groupsize, n * 4 // 32), np.int32)),
+            qzeros=HostBuf(np.zeros((k // groupsize, n * bits // 32),
+                                    np.int32)),
             scales=jnp.asarray(scales, dtype=dtype),
-            zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), dtype=dtype),
+            zeros=jnp.asarray(np.full((g, n), float(2 ** (bits - 1) - 1),
+                                      np.float32), dtype=dtype),
             g_idx=HostBuf((np.arange(k) // groupsize).astype(np.int32)),
-            perm=None, bias=None, bits=4, groupsize=groupsize,
+            perm=None, bias=None, bits=bits, groupsize=groupsize,
             in_features=k, out_features=n, layout="tpu")
         shape_cache[(k, n)] = lin
         return lin
@@ -106,7 +117,17 @@ def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False):
     }
 
 
-def random_wire_llama(cfg, dtype, groupsize=128):
+def bench_bits() -> int:
+    """BENCH_BITS ∈ {2,3,4,8}: weight width for the decode bench (default 4).
+    BASELINE.json configs[2] names 13B INT3-g128; BENCH_MODEL=13b BENCH_BITS=3
+    runs that config on hardware."""
+    b = int(os.environ.get("BENCH_BITS", "4"))
+    if b not in (2, 3, 4, 8):
+        raise ValueError(f"BENCH_BITS must be one of 2/3/4/8, got {b}")
+    return b
+
+
+def random_wire_llama(cfg, dtype, groupsize=128, bits=4):
     """Random weights in the WIRE format, loaded via PackedLinear.from_wire —
     the same layout-transform path a real checkpoint takes (BENCH_LOAD_PATH)."""
     import jax.numpy as jnp
@@ -119,13 +140,13 @@ def random_wire_llama(cfg, dtype, groupsize=128):
         if (k, n) in shape_cache:
             return shape_cache[(k, n)]
         g = k // groupsize
-        qweight = rng.randint(-2**31, 2**31, size=(k * 4 // 32, n),
+        qweight = rng.randint(-2**31, 2**31, size=(k * bits // 32, n),
                               dtype=np.int32)
-        qzeros = rng.randint(-2**31, 2**31, size=(g, n * 4 // 32),
+        qzeros = rng.randint(-2**31, 2**31, size=(g, n * bits // 32),
                              dtype=np.int32)
         scales = (rng.rand(g, n) * 0.004 + 0.001).astype(np.float16)
         g_idx = (np.arange(k) // groupsize).astype(np.int32)
-        lin = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=4,
+        lin = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=bits,
                                      dtype=dtype)
         shape_cache[(k, n)] = lin
         return lin
@@ -174,19 +195,19 @@ def checkpoint_roundtrip(cfg, params, dtype, stage):
     return reloaded
 
 
-def model_weight_bytes(cfg, groupsize=128, quant_head=False):
+def model_weight_bytes(cfg, groupsize=128, quant_head=False, bits=4):
     """HBM bytes read per decode token: packed buffers + dense lm_head."""
     h, inter = cfg.hidden_size, cfg.intermediate_size
     qh = cfg.num_heads * cfg.head_dim
     kvh = cfg.num_kv_heads * cfg.head_dim
     shapes = [(h, qh), (h, kvh), (h, kvh), (qh, h),
               (h, inter), (h, inter), (inter, h)]
-    per_layer = sum(k * n // 2                      # int4 codes
+    per_layer = sum(k * n * bits // 8               # packed codes
                     + (k // groupsize) * n * 2 * 2  # scales + zeros (bf16)
                     for k, n in shapes)
     lm_head = cfg.vocab_size * h * 2                # bf16 dense
     if quant_head:
-        lm_head = (h * cfg.vocab_size // 2
+        lm_head = (h * cfg.vocab_size * bits // 8
                    + (h // groupsize) * cfg.vocab_size * 2 * 2)
     return cfg.num_layers * per_layer + lm_head
 
@@ -287,30 +308,54 @@ def pinned_roofline_bw(stage=lambda *_: None):
     return bw
 
 
-def _relay_alive(timeout: float | None = None) -> bool:
-    """Probe the TPU relay in a SUBPROCESS with a hard timeout.
+def _relay_alive(stage=lambda *_: None) -> bool:
+    """Probe the TPU relay in a SUBPROCESS with a hard per-attempt timeout,
+    retrying across a long window.
 
     A dead axon relay makes backend init HANG (not raise), which would wedge
     the whole bench run; probing out-of-process lets the parent fall back to
     the CPU tiny bench and still emit a JSON line. Relay init latency is
-    highly variable (measured: <10 s to >120 s minutes apart), so probe
-    twice before declaring it dead (BENCH_PROBE_TIMEOUT overrides)."""
+    highly variable (measured: <10 s to >120 s minutes apart) AND the relay
+    goes through multi-minute unreachable windows — round 4's official record
+    was lost to one such window with only 2x240 s of patience. So: keep
+    probing every BENCH_PROBE_TIMEOUT (180 s) seconds for up to
+    BENCH_PROBE_WINDOW (1800 s) of wall clock, stage-logging every attempt so
+    a final CPU fallback is attributable to a specific sequence of failures.
+    """
     import subprocess
     import sys
-    if timeout is None:
-        timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "240"))
+    timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "180"))
+    window = float(os.environ.get("BENCH_PROBE_WINDOW", "1800"))
+    pause = float(os.environ.get("BENCH_PROBE_PAUSE", "20"))
     code = ("import jax, numpy as np, jax.numpy as jnp;"
             "x = jnp.ones((8, 128));"
             "np.asarray(x @ x.T); print('RELAY_OK')")
-    for _ in range(2):
+    t0 = time.time()
+    attempt = 0
+    while True:
+        attempt += 1
+        ta = time.time()
+        err = ""
         try:
             r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
                                capture_output=True, text=True)
             if "RELAY_OK" in r.stdout:
+                stage(f"relay probe attempt {attempt}: OK "
+                      f"({time.time() - ta:.0f}s)")
                 return True
-        except Exception:
-            pass
-    return False
+            err = (r.stderr or "").strip().splitlines()[-1:] or ["no output"]
+            err = f"exit {r.returncode}: {err[0][:120]}"
+        except subprocess.TimeoutExpired:
+            err = f"timed out after {timeout:.0f}s"
+        except Exception as e:  # pragma: no cover - defensive
+            err = repr(e)[:160]
+        elapsed = time.time() - t0
+        stage(f"relay probe attempt {attempt} FAILED ({err}); "
+              f"{elapsed:.0f}s/{window:.0f}s of probe window used")
+        if elapsed + pause + timeout > window:
+            stage(f"relay probe window exhausted after {attempt} attempts")
+            return False
+        time.sleep(pause)
 
 
 def main():
@@ -324,8 +369,8 @@ def main():
     force_cpu = False
     if os.environ.get("BENCH_TINY", "") != "1" \
             and os.environ.get("BENCH_SKIP_PROBE", "") != "1":
-        if not _relay_alive():
-            stage("TPU relay unreachable (subprocess probe timed out): "
+        if not _relay_alive(stage):
+            stage("TPU relay unreachable (probe window exhausted): "
                   "falling back to the CPU tiny bench")
             force_cpu = True
 
@@ -347,6 +392,7 @@ def main():
     backend = jax.default_backend()
     tiny = os.environ.get("BENCH_TINY", "") == "1" or backend == "cpu"
     cfg = build_cfg(tiny)
+    bits = bench_bits()
     dtype = jnp.bfloat16 if backend != "cpu" else jnp.float32
     quant_head = os.environ.get("BENCH_QHEAD", "") == "1"
     if quant_head and os.environ.get("BENCH_LOAD_PATH", "") == "1":
@@ -354,13 +400,15 @@ def main():
         # roofline denominator consistent with what actually runs
         stage("BENCH_QHEAD ignored in BENCH_LOAD_PATH mode (dense head)")
         quant_head = False
-    stage(f"backend={backend} tiny={tiny} qhead={quant_head}; building weights")
+    stage(f"backend={backend} tiny={tiny} bits={bits} qhead={quant_head}; "
+          "building weights")
     if os.environ.get("BENCH_LOAD_PATH", "") == "1":
-        params = random_wire_llama(cfg, dtype)
+        params = random_wire_llama(cfg, dtype, bits=bits)
         jax.block_until_ready(params["embed_tokens"])
         params = checkpoint_roundtrip(cfg, params, dtype, stage)
     else:
-        params = random_packed_llama(cfg, dtype, quant_head=quant_head)
+        params = random_packed_llama(cfg, dtype, quant_head=quant_head,
+                                     bits=bits)
     jax.block_until_ready(params["embed_tokens"])
     stage("weights on device")
 
@@ -406,15 +454,20 @@ def main():
     stage(f"timed: {dt * 1e3:.2f} ms/token")
 
     bw = pinned_roofline_bw(stage) if backend != "cpu" else 10.0
-    roofline = bw * 1e9 / model_weight_bytes(cfg, quant_head=quant_head)
+    wbytes = model_weight_bytes(cfg, quant_head=quant_head, bits=bits)
+    roofline = bw * 1e9 / wbytes
+    # honest dual reporting (round-4 verdict): vs_baseline against the PINNED
+    # measured-achievable basis, vs_hw_peak against the 819 GB/s v5e nominal
+    # HBM peak (no derate) — the second can only be lower
+    hw_peak = 819.0e9 / wbytes if backend != "cpu" else roofline
+    size = "13b" if os.environ.get("BENCH_MODEL", "7b") == "13b" else "7b"
     print(json.dumps({
         "metric": ("tiny_llama_int4_decode_tokens_per_s" if tiny else
-                   "llama13b_int4g128_decode_tokens_per_s_chip"
-                   if os.environ.get("BENCH_MODEL", "7b") == "13b" else
-                   "llama7b_int4g128_decode_tokens_per_s_chip"),
+                   f"llama{size}_int{bits}g128_decode_tokens_per_s_chip"),
         "value": round(tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / roofline, 4),
+        "vs_hw_peak": round(tok_s / hw_peak, 4),
     }))
 
 

@@ -209,6 +209,9 @@ def apply_kv_cache(past_kv, k, v):
     return k, v, (k, v), offset
 
 
+_warned_attn_skip = False
+
+
 def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     """Additive causal mask (q_len, kv_len); query i attends kv <= i + kv_len - q_len."""
     qi = jnp.arange(q_len)[:, None]
@@ -260,10 +263,19 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
             and not isinstance(decode_offset, tuple) \
             and not isinstance(k, tuple):
         import os
-        if os.environ.get("GPTQ_TPU_ATTN_IMPL") == "skip":
+        if os.environ.get("GPTQ_TPU_ATTN_SKIP") == "1":
             # decomposition probes ONLY (scripts/attn13b_probe.py): removes
             # the decode-attention op so its in-model cost can be isolated;
-            # output is q (right shape, wrong values)
+            # output is q (right shape, WRONG VALUES). Kept in its own env
+            # var (not GPTQ_TPU_ATTN_IMPL's pallas/xla namespace) so a typo
+            # there can never silently corrupt generation; warn loudly once.
+            global _warned_attn_skip
+            if not _warned_attn_skip:
+                _warned_attn_skip = True
+                import warnings
+                warnings.warn("GPTQ_TPU_ATTN_SKIP=1: decode attention is "
+                              "REMOVED — outputs are numerically wrong "
+                              "(decomposition probes only)")
             return q
     if isinstance(decode_offset, tuple) and decode_offset[0] == "grouped":
         # token-fused serving step (see apply_kv_cache "grouped"): split the
@@ -306,7 +318,8 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
                                             supports_paged_decode)
         sc = scale if scale is not None else 1.0 / (d ** 0.5)
         if (use and sq == 1
-                and supports_paged_decode(kp.shape[1], h, kp.shape[2], d)):
+                and supports_paged_decode(kp.shape[1], h, kp.shape[2], d,
+                                          kp.dtype.itemsize)):
             return pool_decode_attention(
                 q, kp, vp, tables, decode_offset, sc, interpret=interp)
         mb, bs = tables.shape[1], kp.shape[1]
@@ -364,7 +377,8 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
         use, interp = _attn_impl(k.dtype)
         from ..ops.pallas.attention import (decode_attention,
                                             supports_decode_attention)
-        if use and supports_decode_attention(sq, h, k.shape[2], d):
+        if use and supports_decode_attention(sq, h, k.shape[2], d,
+                                             k.shape[1], k.dtype.itemsize):
             sc = scale if scale is not None else 1.0 / (d ** 0.5)
             return decode_attention(q, k, v, decode_offset, sc,
                                     interpret=interp)

@@ -10,9 +10,13 @@ the arch delta is just: learned positions (offset 0), pre-LN blocks, one
 fused c_attn projection in [Q|K|V] block layout, tanh-GELU MLP, tied head.
 
 The fused c_attn uses the BLOCK layout (all Q heads, then all K, then all V)
-— unlike NeoX's per-head interleave — so column-sharding it would split
-q/k/v across shards; tensor parallelism is therefore not offered for gpt2
-(parallel/sharding.py raises with this rationale).
+— unlike NeoX's per-head interleave — so naive column-sharding would split
+q/k/v across shards. Tensor parallelism handles this with a LOAD-TIME column
+re-layout into per-shard [Q_i|K_i|V_i] groups
+(parallel/tp_model._relayout_qkv_blocks): each shard_map shard then sees a
+local c_attn whose split-by-thirds is exactly this file's `layer` code with
+the local head count. The plain jit-sharding fallback keeps the natural
+layout (XLA reshards the slices).
 """
 
 from __future__ import annotations

@@ -104,9 +104,17 @@ def _gqa_blocks(num_heads: int, num_kv_heads: int, seq_block: int = 64,
 
 
 def supports_decode_attention(q_len: int, num_heads: int, num_kv_heads: int,
-                              head_dim: int) -> bool:
+                              head_dim: int, seq_len: int | None = None,
+                              itemsize: int = 2) -> bool:
+    """Gate with the REAL cache geometry when the caller has it: the block
+    plan depends on the derived seq block and the cache itemsize, so gating
+    with defaults while the kernel re-derives stricter params could admit a
+    shape whose plan is infeasible (round-4 advisor finding). decode_attention
+    also falls back internally, so a stale gate degrades, never crashes."""
+    bs = _seq_block(seq_len) if seq_len is not None else 64
     return (q_len == 1 and head_dim % 128 == 0
-            and _gqa_blocks(num_heads, num_kv_heads, 64, head_dim) is not None)
+            and _gqa_blocks(num_heads, num_kv_heads, bs, head_dim,
+                            itemsize) is not None)
 
 
 def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
@@ -158,10 +166,30 @@ def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
 
 
 def supports_paged_decode(block_size: int, num_heads: int, num_kv_heads: int,
-                          head_dim: int) -> bool:
+                          head_dim: int, itemsize: int = 2) -> bool:
     return (block_size % 8 == 0 and head_dim % 128 == 0
             and _gqa_blocks(num_heads, num_kv_heads, block_size,
-                            head_dim) is not None)
+                            head_dim, itemsize) is not None)
+
+
+def _xla_decode_fallback(q, k, v, offs, scale):
+    """Plain XLA masked decode attention — the in-kernel fallback when the
+    VMEM block plan is infeasible for the real cache geometry (e.g. fp32
+    caches at long seq with non-power-of-two blocks). Matches the sdpa
+    fallback in models/common.py."""
+    b, _, h, d = q.shape
+    hkv = k.shape[2]
+    kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+    if h != hkv:
+        kf = jnp.repeat(kf, h // hkv, axis=2)
+        vf = jnp.repeat(vf, h // hkv, axis=2)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32), kf) * scale
+    kj = jnp.arange(k.shape[1])
+    live = kj[None, None, None, :] <= offs[:, None, None, None]
+    logits = jnp.where(live, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs, vf)
+    return out.astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "interpret"))
@@ -184,9 +212,14 @@ def pool_decode_attention(q, k_pool, v_pool, tables, offset,
     hkv = k_pool.shape[2]
     bs = k_pool.shape[1]
     mb = tables.shape[1]
-    ht, g = _gqa_blocks(h, hkv, bs, d, k_pool.dtype.itemsize)
+    blocks = _gqa_blocks(h, hkv, bs, d, k_pool.dtype.itemsize)
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
     tabs = jnp.asarray(tables, jnp.int32)
+    if blocks is None:  # infeasible block plan: gather-then-dense XLA path
+        kd = jnp.take(k_pool, tabs, axis=0).reshape(b, mb * bs, hkv, d)
+        vd = jnp.take(v_pool, tabs, axis=0).reshape(b, mb * bs, hkv, d)
+        return _xla_decode_fallback(q, kd, vd, offs, scale)
+    ht, g = blocks
 
     def kv_map(bi, hi, si, tab_ref, off_ref):
         # clamp to the slot's last live logical block, then map through the
@@ -242,8 +275,11 @@ def decode_attention(q, k_cache, v_cache, offset, scale: float,
     hkv = k_cache.shape[2]
     s = k_cache.shape[1]
     bs = _seq_block(s)
-    ht, g = _gqa_blocks(h, hkv, bs, d, k_cache.dtype.itemsize)
+    blocks = _gqa_blocks(h, hkv, bs, d, k_cache.dtype.itemsize)
     offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
+    if blocks is None:  # infeasible block plan for this cache geometry
+        return _xla_decode_fallback(q, k_cache, v_cache, offs, scale)
+    ht, g = blocks
 
     def kv_map(bi, hi, si, off_ref):
         # clamp to the last live block: steps past the prefix revisit it and

@@ -51,9 +51,18 @@ TP_RULES = {
         "attention.query_key_value": "col", "attention.dense": "row",
         "mlp.dense_h_to_4h": "col", "mlp.dense_4h_to_h": "row",
     },
-    # gpt2 has NO entry: its fused c_attn uses the [all Q | all K | all V]
-    # BLOCK layout (unlike neox's per-head interleave), so column-sharding
-    # would split q/k/v across shards — see tp_rules()
+    "gpt2": {
+        # the fused c_attn ships in [all Q | all K | all V] BLOCK layout
+        # (unlike neox's per-head interleave); the shard_map path re-orders
+        # its columns into per-shard [Q_i|K_i|V_i] groups at load time
+        # (tp_model._relayout_qkv_blocks — the same load-time-permutation
+        # trick as the act-order row sort) so contiguous col-sharding hands
+        # every shard whole q/k/v head blocks. Under plain jit-sharding the
+        # natural layout stays (XLA reshards the q/k/v slices; correct,
+        # just extra collectives on the simple fallback path).
+        "attn.c_attn": "col", "attn.c_proj": "row",
+        "mlp.c_fc": "col", "mlp.c_proj": "row",
+    },
 }
 
 
@@ -63,9 +72,8 @@ def tp_rules(arch_name: str) -> dict:
         return TP_RULES[arch_name]
     except KeyError:
         raise ValueError(
-            f"tensor parallelism is not supported for {arch_name!r} "
-            "(gpt2: the fused c_attn [Q|K|V] block layout does not "
-            "column-split into whole heads); run single-chip") from None
+            f"tensor parallelism is not supported for {arch_name!r}; "
+            "run single-chip") from None
 
 
 def make_mesh(tp: Optional[int] = None, dp: int = 1,

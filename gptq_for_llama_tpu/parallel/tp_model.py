@@ -91,7 +91,14 @@ _MLP_PAIRS = {
     "llama": (("mlp.gate_proj", "mlp.up_proj"), "mlp.down_proj"),
     "opt": (("fc1",), "fc2"),
     "neox": (("mlp.dense_h_to_4h",), "mlp.dense_4h_to_h"),
+    "gpt2": (("mlp.c_fc",), "mlp.c_proj"),
 }
+
+# fused attention projections in [all Q | all K | all V] BLOCK column layout
+# (NOT per-head interleaved like neox): contiguous col-sharding would split
+# q/k/v across shards, so prepare_tp_params re-orders their columns into
+# per-shard [Q_i|K_i|V_i] groups first (see _relayout_qkv_blocks)
+_QKV_BLOCK_FUSED = {"gpt2": "attn.c_attn"}
 
 _LANE = 128  # Pallas/Mosaic lane width: per-shard N must be a multiple
 
@@ -126,6 +133,39 @@ def _pad_col_shards(lin: PackedLinear, tp: int, pad: int) -> PackedLinear:
         zeros=pad_n(lin.zeros), bias=bias,
         out_features=tp * (n_local + pad),
         qzeros=None, g_idx=None, scales_wire=None)
+
+
+def _relayout_qkv_blocks(lin, tp: int):
+    """[all Q | all K | all V] fused projection -> per-shard [Q_i|K_i|V_i]
+    column groups, so contiguous col-sharding hands shard i its own whole
+    q/k/v head blocks and the LOCAL forward's split-by-thirds stays correct
+    (gpt2's c_attn; reference has no TP at all — its multi-GPU scheme is
+    layer placement, llama.py:328-382). A pure output-column permutation:
+    mathematically identical, applied once at load like the act-order row
+    sort. Shard-local layout is not a save path: wire aux is dropped."""
+    if isinstance(lin, PackedLinear):
+        n = lin.out_features
+    else:
+        n = lin["kernel"].shape[1]
+    if n % (3 * tp):
+        raise ValueError(f"fused qkv out_features {n} must divide 3*tp={3*tp}")
+    h = n // 3
+    hl = h // tp
+    perm = np.concatenate([np.arange(s * h + i * hl, s * h + (i + 1) * hl)
+                           for i in range(tp) for s in range(3)])
+    if isinstance(lin, PackedLinear):
+        return dataclasses.replace(
+            lin,
+            qweight=jnp.asarray(np.asarray(lin.qweight)[:, perm]),
+            scales=jnp.asarray(np.asarray(lin.scales)[:, perm]),
+            zeros=jnp.asarray(np.asarray(lin.zeros)[:, perm]),
+            bias=None if lin.bias is None
+            else jnp.asarray(np.asarray(lin.bias)[perm]),
+            qzeros=None, g_idx=None, scales_wire=None)
+    out = {"kernel": jnp.asarray(np.asarray(lin["kernel"])[:, perm])}
+    if lin.get("bias") is not None:
+        out["bias"] = jnp.asarray(np.asarray(lin["bias"])[perm])
+    return out
 
 
 def _walk_linears(arch_name: str, layer_tree: dict, fn, skip=()) -> dict:
@@ -174,6 +214,14 @@ def prepare_tp_params(arch_name: str, params: dict, tp: int) -> dict:
         # so the generic row prep must skip that one name)
         act_map = None
         new = jax.tree_util.tree_map(lambda x: x, lp)
+        qkv_name = _QKV_BLOCK_FUSED.get(arch_name)
+        if qkv_name is not None:
+            try:
+                qkv_lin = get_path(new, qkv_name)
+            except (KeyError, TypeError):
+                qkv_lin = None
+            if qkv_lin is not None:
+                set_path(new, qkv_name, _relayout_qkv_blocks(qkv_lin, tp))
         try:
             col_lins = [get_path(new, c) for c in cols]
             row_lin = get_path(new, row_name) if row_name else None

@@ -498,8 +498,12 @@ def sample_logits(logits, key, temperature, top_p, top_k: int = 0,
                     temperature-scaled categorical (rows with temperature 0
                     still take the argmax, as in the general path).
       None          the general sort + top-k/top-p filter path.
-    Results for the promised rows are identical to mode=None (the top-p
-    cutoff keeps >= 1 token per row and at top_p >= 1 drops nothing)."""
+    Results for the promised rows are distributionally equivalent to
+    mode=None and bitwise identical under the same PRNG key EXCEPT for a
+    rare float-rounding edge in the general path: its cumsum cutoff
+    (cum < top_p) can clip a tail token when rounding pushes the cumulative
+    sum to 1.0 before the last index, in which case the fast path (which
+    never filters at top_p >= 1) is the more faithful of the two."""
     logits = logits.astype(jnp.float32)
     b = logits.shape[0]
     greedy = jnp.argmax(logits, axis=-1)

@@ -8,7 +8,7 @@ probe measures the REAL runner path three ways:
 
   default   Pallas decode-attention kernel (ops/pallas/attention.py)
   xla       GPTQ_TPU_ATTN_IMPL=xla fallback (full padded-cache einsum)
-  skip      GPTQ_TPU_ATTN_IMPL=skip — attention op removed (output = q);
+  skip      GPTQ_TPU_ATTN_SKIP=1 — attention op removed (output = q);
             the delta vs default IS the in-model attention cost
 
 plus standalone kernel timings (live prefix 16 and 240 of a 256 cache) to
@@ -148,15 +148,18 @@ def main():
 
     in_model = {}
     for impl in ("default", "xla", "skip"):
-        if impl == "default":
-            os.environ.pop("GPTQ_TPU_ATTN_IMPL", None)
-        else:
+        os.environ.pop("GPTQ_TPU_ATTN_IMPL", None)
+        os.environ.pop("GPTQ_TPU_ATTN_SKIP", None)
+        if impl == "skip":
+            os.environ["GPTQ_TPU_ATTN_SKIP"] = "1"
+        elif impl != "default":
             os.environ["GPTQ_TPU_ATTN_IMPL"] = impl
         runner._decode_scan_cache.clear()
         dt = time_span(runner, tok, cache, args.steps)
         in_model[impl] = round(dt * 1e3, 3)
         stage(f"in-model {impl}: {dt * 1e3:.3f} ms/token")
     os.environ.pop("GPTQ_TPU_ATTN_IMPL", None)
+    os.environ.pop("GPTQ_TPU_ATTN_SKIP", None)
     results["in_model_ms_per_token"] = in_model
     results["attn_cost_ms"] = {
         "pallas": round(in_model["default"] - in_model["skip"], 3),

@@ -7,7 +7,7 @@ monkeypatching one component at a time out of the traced step (patches are
 active at trace time; the scan cache is cleared between variants):
 
   full        production step
-  skipattn    GPTQ_TPU_ATTN_IMPL=skip (attention op removed)
+  skipattn    GPTQ_TPU_ATTN_SKIP=1 (attention op removed)
   norope      apply_rope -> identity
   nonorms     rms_norm -> identity
   nocache     update_kv_cache -> no write (attention reads stale cache)
@@ -100,10 +100,10 @@ def main():
     results = {}
     for name in args.variants.split(","):
         p = PATCHES[name]
-        if p.get("env"):
-            os.environ["GPTQ_TPU_ATTN_IMPL"] = p["env"]
+        if p.get("env") == "skip":
+            os.environ["GPTQ_TPU_ATTN_SKIP"] = "1"
         else:
-            os.environ.pop("GPTQ_TPU_ATTN_IMPL", None)
+            os.environ.pop("GPTQ_TPU_ATTN_SKIP", None)
         llama.apply_rope = p.get("rope", orig["rope"])
         llama.rms_norm = p.get("norm", orig["norm"])
         common.update_kv_cache = p.get("upd", orig["upd"])
@@ -124,7 +124,7 @@ def main():
 
     llama.apply_rope, llama.rms_norm = orig["rope"], orig["norm"]
     common.update_kv_cache = orig["upd"]
-    os.environ.pop("GPTQ_TPU_ATTN_IMPL", None)
+    os.environ.pop("GPTQ_TPU_ATTN_SKIP", None)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:

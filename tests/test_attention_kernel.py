@@ -35,6 +35,47 @@ def test_supports_gates():
     assert supports_decode_attention(1, 32, 8, 128)        # GQA kernel
     assert not supports_decode_attention(1, 32, 32, 64)    # head_dim < 128
     assert supports_decode_attention(1, 40, 40, 128)       # 13B odd heads
+    # real cache geometry must reach the gate (round-4 advisor): a ragged
+    # seq (bs = s = 1000) at bf16, or s = 500 at fp32, exhausts the VMEM
+    # block budget — the gate must say no instead of letting the kernel
+    # derive an infeasible plan and crash at trace time
+    assert not supports_decode_attention(1, 32, 32, 128, 1000, 2)
+    assert not supports_decode_attention(1, 32, 32, 128, 500, 4)
+    assert supports_decode_attention(1, 32, 32, 128, 1024, 2)
+
+
+def test_decode_attention_infeasible_plan_falls_back():
+    """decode_attention/pool_decode_attention must return the XLA-equivalent
+    result (not raise) when the real geometry has no feasible block plan
+    (round-4 advisor: h=hkv=32, s=1000 bf16 previously raised TypeError)."""
+    b, s, h, d = 1, 1000, 32, 128
+    rng = np.random.RandomState(11)
+    q = jnp.asarray(rng.standard_normal((b, 1, h, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)), jnp.bfloat16)
+    off = jnp.int32(17)
+    got = np.asarray(decode_attention(q, k, v, off, 1.0 / d ** 0.5)
+                     .astype(jnp.float32))
+    want = np.asarray(sdpa(q, k, v, decode_mask(1, s, off))
+                      .astype(jnp.float32))
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+    from gptq_for_llama_tpu.ops.pallas.attention import (_gqa_blocks,
+                                                         pool_decode_attention)
+    # fp32 pool at block 500: no plan -> gather-then-dense fallback
+    assert _gqa_blocks(32, 32, 500, 128, 4) is None
+    kp = jnp.asarray(rng.standard_normal((2, 500, h, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((2, 500, h, d)), jnp.float32)
+    tables = jnp.asarray([[0, 1]], jnp.int32)
+    qf = q.astype(jnp.float32)
+    got = np.asarray(pool_decode_attention(qf, kp, vp, tables,
+                                           jnp.asarray([17], jnp.int32),
+                                           1.0 / d ** 0.5))
+    kd = np.asarray(kp).reshape(1, 1000, h, d)
+    vd = np.asarray(vp).reshape(1, 1000, h, d)
+    want = np.asarray(sdpa(qf, jnp.asarray(kd), jnp.asarray(vd),
+                           decode_mask(1, 1000, jnp.int32(17))))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
 
 
 def test_decode_attention_odd_heads_multi_block():

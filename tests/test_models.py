@@ -117,7 +117,13 @@ def test_gpt2_quantize_pack_reload_decode(tmp_path):
                                atol=2e-4, rtol=1e-3)
 
 
-def test_gpt2_tp_rejected_with_rationale():
+def test_gpt2_tp_rules_present():
+    """gpt2 TP is supported via the load-time c_attn column re-layout
+    (parallel/tp_model._relayout_qkv_blocks); parity on the virtual mesh is
+    covered by tests/test_tp_model.py::test_shard_map_tp_matches_unsharded.
+    Unknown arches still get an actionable rejection."""
     from gptq_for_llama_tpu.parallel.sharding import tp_rules
-    with pytest.raises(ValueError, match="c_attn"):
-        tp_rules("gpt2")
+    rules = tp_rules("gpt2")
+    assert rules["attn.c_attn"] == "col" and rules["attn.c_proj"] == "row"
+    with pytest.raises(ValueError, match="not supported"):
+        tp_rules("mamba")

@@ -45,6 +45,13 @@ CFGS = {
                         num_kv_heads=4, head_dim=32, max_seq_len=64,
                         act="gelu", rotary_pct=0.25, parallel_residual=True,
                         norm_eps=1e-5),
+    # c_attn [Q|K|V] block layout: exercises the load-time column re-layout
+    # (tp_model._relayout_qkv_blocks) that makes gpt2 col-shardable
+    "gpt2": ModelConfig(arch="gpt2", vocab_size=128, hidden_size=128,
+                        intermediate_size=256, num_layers=2, num_heads=4,
+                        num_kv_heads=4, head_dim=32, max_seq_len=64,
+                        act="gelu_new", pos_embedding="learned",
+                        norm_eps=1e-5, attn_bias=True, mlp_bias=True),
 }
 
 
@@ -62,7 +69,7 @@ def _run_steps(runner, ids, nsteps=3):
     return np.asarray(logits, np.float32), np.stack(toks, 1)
 
 
-@pytest.mark.parametrize("arch_name", ["llama", "opt", "neox"])
+@pytest.mark.parametrize("arch_name", ["llama", "opt", "neox", "gpt2"])
 def test_shard_map_tp_matches_unsharded(arch_name):
     cfg = CFGS[arch_name]
     params = _build(arch_name, cfg)
