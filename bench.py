@@ -212,45 +212,37 @@ def model_weight_bytes(cfg, groupsize=128, quant_head=False, bits=4):
     return cfg.num_layers * per_layer + lm_head
 
 
-def probe_hbm_bw(samples: int = 5):
-    """Measured achievable weight-stream bandwidth (GB/s): the TUNED fused
-    dequant-matmul kernel on a synthetic 4096x12288 INT4-g128 layer at decode
-    batch (m=8). This is the honest roofline basis for this workload class —
-    generic XLA reduce loops and corner-touch Pallas streams are both
-    grid-overhead bound on this chip (~110-390 GB/s) while the production
-    kernel sustains 650-760 GB/s (scripts/kbench.py). Timed with the slope
-    method (u=1 vs u=9 chained calls) to cancel the relay per-iteration floor;
-    the MEDIAN of `samples` interleaved slope estimates defends against relay
-    jitter (single-slope estimates move +-10% run to run).
-    """
+HW_PEAK_GBPS = 819.0  # v5e nominal HBM bandwidth (no derate)
+
+
+def _probe_one(lin, m: int, samples: int, iters: int = 100):
+    """Median slope-timed bandwidth (GB/s) of the tuned production dispatch
+    on one packed layer at row count m. Slope method (u=1 vs u=9 chained
+    calls) cancels the relay per-iteration floor; the median of `samples`
+    interleaved estimates defends against relay jitter (single-slope
+    estimates move +-10% run to run)."""
     import jax
     import jax.numpy as jnp
-    from gptq_for_llama_tpu.ops.pallas import matmul as pk
+    from gptq_for_llama_tpu.ops.pallas import autotune as at
+    from gptq_for_llama_tpu.ops.pallas.matmul import quant_matmul_pallas
 
-    k, n, gs = 4096, 12288, 128
-    g = k // gs
-    rng = np.random.RandomState(7)
-    qw = jnp.asarray(rng.randint(-2**31, 2**31, size=(k * 4 // 32, n),
-                                 dtype=np.int32))
-    s = jnp.asarray(rng.rand(g, n).astype(np.float32) * 0.004, jnp.bfloat16)
-    zs = jnp.asarray(np.full((g, n), 0.01, np.float32), jnp.bfloat16)
-    x = jnp.ones((8, k), jnp.bfloat16)
-    wbytes = qw.size * 4 + s.size * 2 + zs.size * 2
-    iters = 100
+    at.tune_qmm(lin, m, "fwd", log=None)
+    x = jnp.ones((m, lin.in_features), jnp.bfloat16)
+    wbytes = lin.qweight.size * 4 + lin.scales.size * 2 + lin.zeros.size * 2
 
     def make_loop(unroll):
         @jax.jit
-        def loop(x0, qw_, s_, zs_):
+        def loop(x0, lin_):
             # weights as jit ARGUMENTS, not baked constants (CLAUDE.md)
             def body(i, c):
                 for _ in range(unroll):
-                    y = pk._qmm_2d(c, qw_, s_, zs_, 4, gs)
+                    y = quant_matmul_pallas(c, lin_)
                     c = x0 + 1e-12 * jnp.sum(y).astype(x0.dtype)
                 return c
 
             return jax.lax.fori_loop(0, iters, body, x0)
 
-        wrapped = lambda x0: loop(x0, qw, s, zs)
+        wrapped = lambda x0: loop(x0, lin)
         np.asarray(wrapped(x))  # compile + warm
         return wrapped
 
@@ -268,8 +260,47 @@ def probe_hbm_bw(samples: int = 5):
     for _ in range(samples):
         per_call = (best_of(loop9) - best_of(loop1)) / (iters * 8)
         bws.append(wbytes / max(per_call, 1e-9) / 1e9)
-    # clamp to the physically plausible band for this chip (v5e nominal 819)
-    return float(np.clip(np.median(bws), 100.0, 860.0))
+    return float(np.median(bws))
+
+
+def probe_hbm_bw(samples: int = 3):
+    """Measured achievable weight-stream bandwidth (GB/s): the BEST of the
+    production tuned dequant-GEMM over the shapes the committed sweeps show
+    sustain the highest rates (round-4 verdict: the old single-shape m=8
+    basis of 597 GB/s sat below what the kernels demonstrably reach — qkv
+    755, down 648-666 GB/s — flattering vs_baseline). Each candidate is
+    slope-timed; the basis is the max of the per-candidate medians, and the
+    per-candidate numbers are pinned alongside it for transparency.
+    """
+    from gptq_for_llama_tpu.ops.linear import HostBuf, PackedLinear
+    import jax.numpy as jnp
+
+    gs = 128
+    rng = np.random.RandomState(7)
+
+    def packed(k, n):
+        g = k // gs
+        return PackedLinear(
+            qweight=jnp.asarray(rng.randint(-2**31, 2**31,
+                                            size=(k * 4 // 32, n),
+                                            dtype=np.int32)),
+            qzeros=HostBuf(np.zeros((g, n * 4 // 32), np.int32)),
+            scales=jnp.asarray(rng.rand(g, n).astype(np.float32) * 0.004,
+                               jnp.bfloat16),
+            zeros=jnp.asarray(np.full((g, n), 7.0, np.float32), jnp.bfloat16),
+            g_idx=HostBuf((np.arange(k) // gs).astype(np.int32)),
+            perm=None, bias=None, bits=4, groupsize=gs,
+            in_features=k, out_features=n, layout="tpu")
+
+    cands = {"qkv_m1": (4096, 12288, 1), "qkv_m8": (4096, 12288, 8),
+             "down_m1": (11008, 4096, 1)}
+    results = {}
+    for name, (k, n, m) in cands.items():
+        # clamp each to the physically plausible band (v5e nominal 819)
+        results[name] = round(
+            float(np.clip(_probe_one(packed(k, n), m, samples), 100.0,
+                          HW_PEAK_GBPS * 1.05)), 1)
+    return max(results.values()), results
 
 
 ROOFLINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -291,12 +322,18 @@ def pinned_roofline_bw(stage=lambda *_: None):
             return float(rec["achievable_gbps"])
         except (OSError, KeyError, ValueError):
             pass
-    bw = probe_hbm_bw()
+    bw, cands = probe_hbm_bw()
     rec = {
         "achievable_gbps": round(bw, 1),
-        "method": "median of 5 slope estimates (u=9 vs u=1 chained calls, "
-                  "100-iter fori loops, best-of-3 each) of the tuned fused "
-                  "dequant-GEMM on a 4096x12288 INT4-g128 layer at m=8",
+        "candidates_gbps": cands,
+        "hw_peak_gbps": HW_PEAK_GBPS,
+        "method": "max over candidate (shape, m) configs of the median of 3 "
+                  "slope estimates (u=9 vs u=1 chained calls, 100-iter fori "
+                  "loops, best-of-3 each) of the production tuned fused "
+                  "dequant-GEMM on INT4-g128 layers (7B qkv m=1/m=8, down "
+                  "m=1); re-pinned round 5 against the best kernel config "
+                  "instead of the single m=8 shape (which sat below what "
+                  "the kernels sustain)",
         "chip": "v5e via axon relay",
     }
     try:
@@ -304,7 +341,8 @@ def pinned_roofline_bw(stage=lambda *_: None):
             json.dump(rec, f, indent=2)
     except OSError:
         pass
-    stage(f"roofline basis: {rec['achievable_gbps']} GB/s (freshly calibrated)")
+    stage(f"roofline basis: {rec['achievable_gbps']} GB/s (freshly "
+          f"calibrated; candidates {cands})")
     return bw
 
 
@@ -459,7 +497,7 @@ def main():
     # honest dual reporting (round-4 verdict): vs_baseline against the PINNED
     # measured-achievable basis, vs_hw_peak against the 819 GB/s v5e nominal
     # HBM peak (no derate) — the second can only be lower
-    hw_peak = 819.0e9 / wbytes if backend != "cpu" else roofline
+    hw_peak = HW_PEAK_GBPS * 1e9 / wbytes if backend != "cpu" else roofline
     size = "13b" if os.environ.get("BENCH_MODEL", "7b") == "13b" else "7b"
     print(json.dumps({
         "metric": ("tiny_llama_int4_decode_tokens_per_s" if tiny else

@@ -220,22 +220,26 @@ def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     return jnp.where(allowed, 0.0, jnp.finfo(dtype).min).astype(dtype)
 
 
-def _attn_impl(cache_dtype):
+def _attn_impl(cache_dtype, fp8_favored: bool = True):
     """(use_pallas, interpret) for the attention-kernel dispatch.
 
     GPTQ_TPU_ATTN_IMPL: 'pallas' forces kernels (interpret off-TPU),
-    'xla' forces the fallback, '' auto (kernels on TPU). fp8-stored caches
-    stay on the XLA path BY MEASUREMENT (v5e, bench_artifacts/r04/
-    attn_validate.json): the Mosaic fp8->f32 upcast dominates the kernels —
-    fp8 GQA decode 772 us vs 732 XLA, fp8 paged 1836 vs 755 — and the dense
-    MHA fp8 kernel does not compile at seq_block 256 (tpu_compile_helper
-    crash). fp8's value is cache MEMORY (2x pool capacity), not decode
-    speed; GPTQ_TPU_ATTN_FP8=1 opts the kernels in anyway."""
+    'xla' forces the fallback, '' auto (kernels on TPU).
+
+    fp8-stored caches use the kernels where MEASURED to win on v5e with the
+    round-5 integer-bit-math upcast (ops/pallas/attention._load_f32,
+    bench_artifacts/r05/attn_validate.json): GQA 449 us vs 731 XLA, paged
+    667 vs 778 — callers pass fp8_favored=False only for the one shape
+    class where XLA still wins (dense MHA decode: 513 vs 259 us — XLA's
+    fused convert beats the kernel when every q head re-reads its own kv
+    head anyway). GPTQ_TPU_ATTN_FP8=1 forces the kernels everywhere;
+    round 4's blanket fp8 gate-off (native Mosaic convert was 3-27x slower)
+    is obsolete."""
     import os
     forced = os.environ.get("GPTQ_TPU_ATTN_IMPL", "")
     use = forced == "pallas" or (forced != "xla"
                                  and jax.default_backend() == "tpu")
-    if (use and jnp.dtype(cache_dtype).itemsize == 1
+    if (use and jnp.dtype(cache_dtype).itemsize == 1 and not fp8_favored
             and os.environ.get("GPTQ_TPU_ATTN_FP8", "") != "1"):
         use = False
     return use, forced == "pallas" and jax.default_backend() != "tpu"
@@ -374,7 +378,9 @@ def sdpa(q, k, v, mask=None, scale: float | None = None, decode_offset=None,
                              else decode_offset + qs))
         return jnp.concatenate(outs, axis=1)
     if decode_offset is not None and sq == 1:
-        use, interp = _attn_impl(k.dtype)
+        # dense MHA (h == hkv) is the one fp8 shape class where XLA still
+        # wins (see _attn_impl); GQA and paged favor the kernels
+        use, interp = _attn_impl(k.dtype, fp8_favored=h != k.shape[2])
         from ..ops.pallas.attention import (decode_attention,
                                             supports_decode_attention)
         if use and supports_decode_attention(sq, h, k.shape[2], d,

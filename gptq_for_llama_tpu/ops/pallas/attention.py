@@ -29,6 +29,29 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 6 * 1024 * 1024  # k+v blocks, double-buffered
 
 
+def _load_f32(block):
+    """Read a VMEM K/V block as fp32.
+
+    fp8-e4m3-stored caches upcast via INTEGER bit math instead of Mosaic's
+    native convert: bf16 bit pattern = (em<<4) + (120<<7) for normals,
+    man * 2^-9 for subnormals — bit-exact for all 254 non-NaN codes (KV
+    caches are NaN-free by construction). Measured on v5e (round 5,
+    bench_artifacts/r05/fp8_upcast.json): the native convert made fp8
+    kernels 3-27x slower than their bf16 twins (746-1987 us vs ~330); the
+    integer path runs at ~bf16 parity (68.7 vs 63.5 us on the probe shape),
+    which is what makes fp8 caches usable on the kernel path at all."""
+    if block.dtype == jnp.float8_e4m3fn:
+        u = jax.lax.bitcast_convert_type(block, jnp.uint8).astype(jnp.int32)
+        sign = jnp.where((u & 0x80) != 0, -1.0, 1.0).astype(jnp.float32)
+        em = u & 0x7F
+        bits = ((em << 4) + (120 << 7)).astype(jnp.uint16)
+        normal = jax.lax.bitcast_convert_type(bits,
+                                              jnp.bfloat16).astype(jnp.float32)
+        sub = (em & 0x7).astype(jnp.float32) * (2.0 ** -9)
+        return jnp.where((em >> 3) == 0, sub, normal) * sign
+    return block.astype(jnp.float32)
+
+
 def _seq_block(s: int) -> int:
     """Seq rows per KV block. 128 preferred over 256: it halves the minimum
     live-prefix read at short contexts (bench/serving run max_len 256, live
@@ -57,8 +80,8 @@ def _attn_kernel(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
     @pl.when(base <= off)
     def _():
         q = q_ref[0].astype(jnp.float32)             # (Ht, D)
-        k = k_ref[0].astype(jnp.float32)             # (BS, Ht, D)
-        v = v_ref[0].astype(jnp.float32)
+        k = _load_f32(k_ref[0])                      # (BS, Ht, D)
+        v = _load_f32(v_ref[0])
         logits = jnp.sum(q[None, :, :] * k, axis=-1) * scale     # (BS, Ht)
         kj = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + base
         logits = jnp.where(kj <= off, logits, -jnp.inf)
@@ -139,8 +162,8 @@ def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
     @pl.when(base <= off)
     def _():
         q = q_ref[0].astype(jnp.float32)                     # (Ht*G, D)
-        k = k_ref[0].astype(jnp.float32)                     # (BS, Ht, D)
-        v = v_ref[0].astype(jnp.float32)
+        k = _load_f32(k_ref[0])                              # (BS, Ht, D)
+        v = _load_f32(v_ref[0])
         # expand kv heads G-fold along the head (sublane) dim: q head
         # kvh*G + j pairs with kv head kvh
         k = jnp.concatenate(

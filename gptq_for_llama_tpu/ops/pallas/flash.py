@@ -45,9 +45,15 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, bq: int):
 
 def supports_prefill(sq: int, skv: int, num_heads: int, num_kv_heads: int,
                      head_dim: int) -> bool:
+    # K+V VMEM budget 2 MB (S <= 4096 at d=128). The previous 4 MB cap
+    # admitted S=8192, where the Mosaic compile REPEATABLY crashes the
+    # remote tpu_compile_helper (HTTP 500, round-5 bisect: resident FAILs in
+    # ~1.4 s while blocked at the same shape compiles and runs) — S >= 8k
+    # now dispatches to flash_prefill_blocked, which is the right kernel at
+    # that scale anyway (validated on chip: bench_artifacts/r05/).
     return (sq == skv and sq % 256 == 0 and head_dim % 128 == 0
             and num_heads % num_kv_heads == 0
-            and skv * head_dim * 2 * 2 <= 4 * 1024 * 1024)  # K+V VMEM budget
+            and skv * head_dim * 2 * 2 <= 2 * 1024 * 1024)
 
 
 # ---------------------------------------------------------------------------
@@ -56,6 +62,24 @@ def supports_prefill(sq: int, skv: int, num_heads: int, num_kv_heads: int,
 # ---------------------------------------------------------------------------
 
 _NEG = -0.7 * float(jnp.finfo(jnp.float32).max)  # large-negative, nan-safe
+
+
+def _load_bf16(block):
+    """VMEM K/V block -> bf16 (the MXU operand dtype here). fp8-e4m3 caches
+    upcast via integer bit math — Mosaic's native fp8 convert is 3-27x
+    slower than the kernel body (see ops/pallas/attention._load_f32 and
+    bench_artifacts/r05/fp8_upcast.json); the bf16 bit pattern is exact for
+    every non-NaN code (3-bit mantissa fits bf16's 7, subnormal man*2^-9 is
+    a power-of-two multiple)."""
+    if block.dtype == jnp.float8_e4m3fn:
+        u = jax.lax.bitcast_convert_type(block, jnp.uint8).astype(jnp.int32)
+        sign = jnp.where((u & 0x80) != 0, -1.0, 1.0).astype(jnp.bfloat16)
+        em = u & 0x7F
+        bits = ((em << 4) + (120 << 7)).astype(jnp.uint16)
+        normal = jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+        sub = (em & 0x7).astype(jnp.bfloat16) * jnp.bfloat16(2.0 ** -9)
+        return jnp.where((em >> 3) == 0, sub, normal) * sign
+    return block.astype(jnp.bfloat16)
 
 
 def _flash_blocked_kernel(off_ref, q_ref, k_ref, v_ref, o_ref,
@@ -77,8 +101,8 @@ def _flash_blocked_kernel(off_ref, q_ref, k_ref, v_ref, o_ref,
     @pl.when(kt * bk < off + (qt + 1) * bq)
     def _compute():
         q = q_ref[0, 0].astype(jnp.bfloat16)                  # (BQ, D)
-        k = k_ref[0, 0].astype(jnp.bfloat16)                  # (BK, D)
-        v = v_ref[0, 0].astype(jnp.bfloat16)
+        k = _load_bf16(k_ref[0, 0])                           # (BK, D)
+        v = _load_bf16(v_ref[0, 0])
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale       # (BQ, BK)

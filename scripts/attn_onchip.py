@@ -76,20 +76,40 @@ def rel_err(got, want):
     return jnp.max(jnp.abs(g - w)) / jnp.maximum(1e-6, jnp.max(jnp.abs(w)))
 
 
-def check(name, fn, results):
-    try:
-        out = fn()
-        results[name] = {"ok": True, **out}
-        stage(f"{name}: OK {out}")
-    except Exception as e:
-        head = f"{type(e).__name__}: {str(e)[:300]}"
-        results[name] = {"ok": False, "error": head}
-        stage(f"{name}: FAIL {head}")
-        if os.environ.get("ATTN_ONCHIP_RAISE"):
-            traceback.print_exc()
+def check(name, fn, results, retries: int = 2):
+    """Run one validation; an HTTP-500 from the remote-compile helper is a
+    TRANSIENT infrastructure failure (round-4's two 'rejections' both
+    compiled clean on re-run), so retry those after a pause — only a
+    repeatable error is recorded as the entry's verdict."""
+    for attempt in range(retries + 1):
+        try:
+            out = fn()
+            results[name] = {"ok": True, **out}
+            stage(f"{name}: OK {out}")
+            return
+        except Exception as e:
+            head = f"{type(e).__name__}: {str(e)[:300]}"
+            transient = "HTTP 500" in str(e)
+            results[name] = {"ok": False, "error": head,
+                             "attempts": attempt + 1}
+            stage(f"{name}: FAIL (attempt {attempt + 1}) {head}")
+            if os.environ.get("ATTN_ONCHIP_RAISE"):
+                traceback.print_exc()
+            if not transient or attempt == retries:
+                return
+            time.sleep(20)
 
 
 def main():
+    try:  # persistent compile cache: the S=8k blocked-flash program takes
+        # ~2 min through the remote-compile helper and that helper dies
+        # (HTTP 500) intermittently under long compiles — a cache hit from a
+        # prior run sidesteps the flake entirely (round-5 finding)
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_bench_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="bench_artifacts/r04/attn_validate.json")
     ap.add_argument("--iters", type=int, default=20)
@@ -188,28 +208,71 @@ def main():
 
     # --- blocked flash at S=8192 vs the VMEM-resident kernel -------------
     def run_blocked_8k():
+        # oracle = chunked jnp attention computed on device (the RESIDENT
+        # kernel cannot be the oracle here: at S=8192 its Mosaic compile
+        # repeatably crashes the remote compile helper — the round-5 bisect
+        # that moved supports_prefill's VMEM cap to 2 MB; full-logits jnp at
+        # 8k would need 8.6 GB, so the oracle runs 512-wide query chunks)
         b, s, h, d = 1, 8192, 32, 128
         q = dev_normal(7, (b, s, h, d), jnp.bfloat16)
         k = dev_normal(8, (b, s, h, d), jnp.bfloat16, scale=0.5)
         v = dev_normal(9, (b, s, h, d), jnp.bfloat16, scale=0.5)
         got = flash_prefill_blocked(q, k, v, jnp.int32(0), scale)
-        want = flash_prefill(q, k, v, scale)
+
+        cq = 512
+
+        @functools.partial(jax.jit, static_argnames=("q0",))
+        def oracle_chunk(q, k, v, q0):
+            qf = q[:, q0:q0 + cq].astype(jnp.float32)
+            kf, vf = k.astype(jnp.float32), v.astype(jnp.float32)
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qf, kf) * scale
+            qi = jnp.arange(cq)[:, None] + q0
+            kj = jnp.arange(s)[None, :]
+            logits = jnp.where((kj <= qi)[None, None], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1)
+            return jnp.einsum("bhqk,bkhd->bqhd", w, vf)
+
+        errs = []
+        for q0 in (0, s - cq):  # first + last chunk bound the causal range
+            want = oracle_chunk(q, k, v, q0=q0)
+            errs.append(float(np.asarray(rel_err(got[:, q0:q0 + cq], want))))
+        err = max(errs)
+        assert err < 2e-2, f"parity vs chunked jnp oracle {err}"
+        np.asarray(flash_prefill_blocked(q, k, v, jnp.int32(0),
+                                         scale)[0, 0, 0, :1])  # settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(flash_prefill_blocked(q, k, v, jnp.int32(0),
+                                             scale)[0, 0, 0, :1])
+            best = min(best, time.perf_counter() - t0)
+        return {"rel_err": err, "blocked_ms": round(best * 1e3, 1)}
+    check("flash_blocked_8k", run_blocked_8k, results)
+
+    def run_resident_4096():
+        # the resident kernel at its NEW cap boundary (S=4096, K+V = 2 MB)
+        b, s, h, d = 1, 4096, 32, 128
+        q = dev_normal(7, (b, s, h, d), jnp.bfloat16)
+        k = dev_normal(8, (b, s, h, d), jnp.bfloat16, scale=0.5)
+        v = dev_normal(9, (b, s, h, d), jnp.bfloat16, scale=0.5)
+        got = flash_prefill(q, k, v, scale)
+        want = flash_prefill_blocked(q, k, v, jnp.int32(0), scale)
         err = float(np.asarray(rel_err(got, want)))
-        assert err < 2e-2, f"parity vs resident kernel {err}"
+        assert err < 2e-2, f"resident vs blocked parity {err}"
         times = []
-        for fn in (lambda: flash_prefill_blocked(q, k, v, jnp.int32(0),
-                                                 scale),
-                   lambda: flash_prefill(q, k, v, scale)):
-            np.asarray(fn()[0, 0, 0, :1])  # settle
+        for fn in (lambda: flash_prefill(q, k, v, scale),
+                   lambda: flash_prefill_blocked(q, k, v, jnp.int32(0),
+                                                 scale)):
+            np.asarray(fn()[0, 0, 0, :1])
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 np.asarray(fn()[0, 0, 0, :1])
                 best = min(best, time.perf_counter() - t0)
             times.append(round(best * 1e3, 1))
-        return {"rel_err": err, "blocked_ms": times[0],
-                "resident_ms": times[1]}
-    check("flash_blocked_8k", run_blocked_8k, results)
+        return {"rel_err": err, "resident_ms": times[0],
+                "blocked_ms": times[1]}
+    check("flash_resident_4096", run_resident_4096, results)
 
     # --- blocked flash cached-prefill with an fp8 cache -------------------
     def run_blocked_fp8():

@@ -48,52 +48,65 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def requests(n):
+    def requests(n, plen):
         return [GenRequest(
             uid=uid,
             prompt=rng.integers(1, cfg.vocab_size,
-                                size=(args.prompt_len,)).astype(np.int32),
+                                size=(plen,)).astype(np.int32),
             max_new_tokens=args.max_new, temperature=0.0)
             for uid in range(n)]
 
     if args.grid:
         grid = []
         for row in args.grid.split(";"):
-            slots, span, paged, kv = row.split(":")
-            grid.append((int(slots), int(span), paged == "1", kv))
+            f = row.split(":")
+            slots, span, paged, kv = int(f[0]), int(f[1]), f[2] == "1", f[3]
+            # optional realistic-workload fields: prompt_len and
+            # prefill_chunk per row (round-5: TTFT under long prompts)
+            plen = int(f[4]) if len(f) > 4 else args.prompt_len
+            chunk = int(f[5]) if len(f) > 5 else args.chunk
+            grid.append((slots, span, paged, kv, plen, chunk))
     else:
-        grid = [(args.slots, s, False, "bf16") for s in (1, args.span)]
+        grid = [(args.slots, s, False, "bf16", args.prompt_len, args.chunk)
+                for s in (1, args.span)]
 
     rows = []
-    for slots, span, paged, kv in grid:
-        kw = dict(prefill_chunk=args.chunk) if args.chunk else {}
+    for slots, span, paged, kv, plen, chunk in grid:
+        kw = dict(prefill_chunk=chunk) if chunk else {}
         if paged:
             kw.update(paged=True, block_size=16)
         if kv == "fp8":
             kw.update(kv_dtype=jnp.float8_e4m3fn)
+        max_len = max(args.max_len, -(-(plen + args.max_new + 32) // 128) * 128)
         engine = ServingEngine("llama", cfg, params, batch_slots=slots,
-                               max_seq_len=args.max_len,
-                               prefill_buckets=(args.prompt_len,),
+                               max_seq_len=max_len,
+                               prefill_buckets=(plen,),
                                decode_span=span, **kw)
-        for r in requests(slots):  # warmup: compile prefill+decode(+span)
+        for r in requests(slots, plen):  # warmup: compile prefill+decode(+span)
             engine.submit(r)
         engine.run()
-        stage(f"slots={slots} span={span} paged={paged} kv={kv}: warmed up")
+        engine._meta.clear()  # warmup requests must not skew TTFT stats
+        stage(f"slots={slots} span={span} paged={paged} kv={kv} plen={plen} "
+              f"chunk={chunk}: warmed up (max_len {max_len})")
         nreq = max(args.reqs, 2 * slots)
-        for r in requests(nreq):
+        for r in requests(nreq, plen):
             engine.submit(r)
         t0 = time.perf_counter()
         results = engine.run()
         dt = time.perf_counter() - t0
         total = sum(len(v) for v in results.values())
-        rows.append({"slots": slots, "span": span, "paged": paged, "kv": kv,
-                     "reqs": nreq, "max_new": args.max_new,
-                     "prompt_len": args.prompt_len,
-                     "tokens": total, "seconds": round(dt, 2),
-                     "tok_per_s": round(total / dt, 1)})
-        stage(f"slots={slots} span={span} paged={paged} kv={kv}: "
+        row = {"slots": slots, "span": span, "paged": paged, "kv": kv,
+               "reqs": nreq, "max_new": args.max_new,
+               "prompt_len": plen, "prefill_chunk": chunk,
+               "max_len": max_len,
+               "tokens": total, "seconds": round(dt, 2),
+               "tok_per_s": round(total / dt, 1)}
+        row.update(engine.stats())  # ttft/latency p50/p95 over timed reqs
+        rows.append(row)
+        stage(f"slots={slots} span={span} paged={paged} kv={kv} plen={plen}: "
               f"{total} tokens in {dt:.1f}s = {total / dt:.1f} tok/s "
-              f"aggregate (incl. prefills)")
+              f"aggregate, ttft p50={row.get('ttft_p50_s')}s "
+              f"p95={row.get('ttft_p95_s')}s")
         del engine
 
     if args.json:

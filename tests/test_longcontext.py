@@ -86,6 +86,11 @@ def test_flash_prefill_blocked_long_self_attention():
     # and it covers shapes the VMEM-resident kernel must reject
     assert not supports_prefill(16384, 16384, h, hkv, 256)
     assert supports_prefill_blocked(16384, 16384, h, hkv, 256)
+    # cap boundary (round 5): S=8192 at d=128 repeatably crashes the Mosaic
+    # remote compile for the resident kernel — it must dispatch blocked
+    assert supports_prefill(4096, 4096, h, hkv, 128)
+    assert not supports_prefill(8192, 8192, h, hkv, 128)
+    assert supports_prefill_blocked(8192, 8192, h, hkv, 128)
     rng = np.random.RandomState(3)
     q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
     k = jnp.asarray(rng.standard_normal((b, s, hkv, d)).astype(np.float32))
