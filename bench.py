@@ -58,17 +58,25 @@ def random_packed_llama(cfg, dtype, groupsize=128, quant_head=False, bits=4):
             return shape_cache[(k, n)]
         kp = -(-k // (8 * groupsize)) * (8 * groupsize)  # kernel K padding
         g = kp // groupsize
-        from gptq_for_llama_tpu.quant import packing
-        if bits == 4:
-            qweight = rng.randint(-2**31, 2**31, size=(kp * bits // 32, n),
-                                  dtype=np.int32)
-        else:
-            # non-nibble widths (BENCH_BITS=2/3/8): random wire words through
-            # the real layout transform (3-bit = bit-plane split) so the
-            # kernel sees exactly what a loaded checkpoint produces
-            wire = rng.randint(-2**31, 2**31, size=(kp * bits // 32, n),
+        if bits != 4:
+            # non-nibble widths (BENCH_BITS=2/3/8): random wire buffers
+            # through the REAL load transform (from_wire — which maps INT3
+            # to the nibble device layout by default) so the kernel sees
+            # exactly what a loaded checkpoint produces
+            wire = rng.randint(-2**31, 2**31, size=(k * bits // 32, n),
                                dtype=np.int32)
-            qweight = packing.to_tpu_layout(wire, bits, groupsize)
+            qz = rng.randint(-2**31, 2**31, size=(k // groupsize,
+                                                  n * bits // 32),
+                             dtype=np.int32)
+            sc = (rng.rand(k // groupsize, n) * 0.004 + 0.001
+                  ).astype(np.float16)
+            gi = (np.arange(k) // groupsize).astype(np.int32)
+            lin = PackedLinear.from_wire(wire, qz, sc, gi, bits=bits,
+                                         dtype=dtype)
+            shape_cache[(k, n)] = lin
+            return lin
+        qweight = rng.randint(-2**31, 2**31, size=(kp * bits // 32, n),
+                              dtype=np.int32)
         scales = (rng.rand(g, n).astype(np.float32) * 0.004 + 0.001)
         from gptq_for_llama_tpu.ops.linear import HostBuf
         lin = PackedLinear(
@@ -196,18 +204,25 @@ def checkpoint_roundtrip(cfg, params, dtype, stage):
 
 
 def model_weight_bytes(cfg, groupsize=128, quant_head=False, bits=4):
-    """HBM bytes read per decode token: packed buffers + dense lm_head."""
+    """HBM bytes read per decode token: packed buffers + dense lm_head.
+
+    Counts DEVICE bytes: INT3 checkpoints store 4-bit nibbles on device by
+    default (ops/linear.PackedLinear.wire_bits), so their roofline divides
+    by nibble traffic, not wire bytes."""
+    dev_bits = bits
+    if bits == 3 and os.environ.get("GPTQ_TPU_INT3_PLANES", "") != "1":
+        dev_bits = 4
     h, inter = cfg.hidden_size, cfg.intermediate_size
     qh = cfg.num_heads * cfg.head_dim
     kvh = cfg.num_kv_heads * cfg.head_dim
     shapes = [(h, qh), (h, kvh), (h, kvh), (qh, h),
               (h, inter), (h, inter), (inter, h)]
-    per_layer = sum(k * n * bits // 8               # packed codes
+    per_layer = sum(k * n * dev_bits // 8           # packed codes
                     + (k // groupsize) * n * 2 * 2  # scales + zeros (bf16)
                     for k, n in shapes)
     lm_head = cfg.vocab_size * h * 2                # bf16 dense
     if quant_head:
-        lm_head = (h * cfg.vocab_size * bits // 8
+        lm_head = (h * cfg.vocab_size * dev_bits // 8
                    + (h // groupsize) * cfg.vocab_size * 2 * 2)
     return cfg.num_layers * per_layer + lm_head
 

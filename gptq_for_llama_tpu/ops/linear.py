@@ -118,6 +118,16 @@ class PackedLinear:
     # combined digest by runtime/runner._normalize_perm_sigs before stacking
     # so they still take the lax.scan path.
     perm_sig: Optional[int] = None
+    # CHECKPOINT code width when it differs from the device width `bits`.
+    # INT3 checkpoints load into the 4-bit nibble device layout by default
+    # (round 5): the 3-bit bit-plane unpack needs ~4x the VPU vector ops of
+    # the nibble path and the nibble path is already VPU-unpack-limited, so
+    # pure 3-bit device storage measured 140-180 GB/s vs the nibble path's
+    # 520-640 on v5e (bench_artifacts/r05/kbench_13b_int3*.json) — one extra
+    # bit/weight of HBM buys ~3.5x decode speed. to_wire repacks at
+    # wire_bits, keeping checkpoints byte-exact. GPTQ_TPU_INT3_PLANES=1
+    # keeps the pure 3-bit device layout (capacity mode).
+    wire_bits: Optional[int] = None
 
     def __post_init__(self):
         if (self.perm is not None and self.perm_sig is None
@@ -129,17 +139,17 @@ class PackedLinear:
                     self.bias)
         aux = (self.bits, self.groupsize, self.in_features, self.out_features,
                self.layout, self.qzeros, self.g_idx, self.scales_wire,
-               self.perm_sig)
+               self.perm_sig, self.wire_bits)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qweight, scales, zeros, perm, bias = children
         (bits, groupsize, in_features, out_features, layout,
-         qzeros, g_idx, scales_wire, perm_sig) = aux
+         qzeros, g_idx, scales_wire, perm_sig, wire_bits) = aux
         return cls(qweight, qzeros, scales, zeros, g_idx, perm, bias,
                    bits, groupsize, in_features, out_features, layout,
-                   scales_wire, perm_sig)
+                   scales_wire, perm_sig, wire_bits)
 
     @classmethod
     def from_wire(cls, qweight, qzeros, scales, g_idx, bits: int,
@@ -162,6 +172,17 @@ class PackedLinear:
         # wire scales are fp16 by format; keep the exact buffer for to_wire
         # (the compute dtype below may be bf16, which cannot represent fp16)
         scales_wire = np.asarray(scales, np.float16)
+
+        import os
+        wire_bits = None
+        if bits == 3 and os.environ.get("GPTQ_TPU_INT3_PLANES", "") != "1":
+            # INT3 -> 4-bit nibble DEVICE layout (see wire_bits field doc):
+            # the kernel then runs its cheap nibble unpack at 4-bit stream
+            # rates instead of the VPU-bound bit-plane split. A load-time
+            # transform only — to_wire repacks at 3 bits, byte-exact.
+            codes = packing.unpack_rows(np.asarray(qweight), 3, k=k)
+            qweight = packing.pack_rows(codes.astype(np.uint32), 4)
+            wire_bits, bits = 3, 4
 
         layout = "wire"
         kp = k
@@ -209,6 +230,7 @@ class PackedLinear:
             bits=bits, groupsize=groupsize, in_features=k, out_features=n,
             layout=layout,
             scales_wire=HostBuf(scales_wire),
+            wire_bits=wire_bits,
         )
 
     @staticmethod
@@ -224,7 +246,8 @@ class PackedLinear:
         a = linears[0]
         for b in linears[1:]:
             if (b.bits != a.bits or b.groupsize != a.groupsize
-                    or b.in_features != a.in_features or b.layout != a.layout):
+                    or b.in_features != a.in_features or b.layout != a.layout
+                    or b.wire_bits != a.wire_bits):
                 raise ValueError("fuse: incompatible quantization layouts")
             if (b.perm is None) != (a.perm is None) or (
                     a.perm is not None and not bool(jnp.all(a.perm == b.perm))):
@@ -253,7 +276,7 @@ class PackedLinear:
             g_idx=a.g_idx, perm=a.perm, bias=bias, bits=a.bits,
             groupsize=a.groupsize, in_features=a.in_features,
             out_features=int(sum(l.out_features for l in linears)),
-            layout=a.layout, scales_wire=scales_wire)
+            layout=a.layout, scales_wire=scales_wire, wire_bits=a.wire_bits)
 
     def to_wire(self) -> dict:
         """Reference wire-format numpy buffers (original, unsorted row order).
@@ -271,6 +294,12 @@ class PackedLinear:
         if self.perm is not None:
             inv = np.argsort(np.asarray(self.perm)).astype(np.int32)
             qweight = packing.gather_rows_packed(qweight, inv, self.bits)
+        if self.wire_bits is not None and self.wire_bits != self.bits:
+            # device nibble layout for an INT3 checkpoint: repack the codes
+            # at the wire width (codes <= 7, so the narrowing is exact)
+            codes = packing.unpack_rows(qweight, self.bits, k=k)
+            qweight = packing.pack_rows(codes.astype(np.uint32),
+                                        self.wire_bits)
         g = k // self.groupsize if self.groupsize > 0 and k % self.groupsize == 0 \
             else self.scales.shape[0]
         scales = (np.asarray(self.scales_wire.arr, dtype=np.float16)

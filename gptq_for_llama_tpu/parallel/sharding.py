@@ -139,7 +139,8 @@ def shard_packed_linear(lin: PackedLinear, mesh: Mesh, mode: str,
         raise ValueError(mode)
     return PackedLinear(qweight, lin.qzeros, scales, zeros, lin.g_idx, perm,
                         bias, lin.bits, lin.groupsize, lin.in_features,
-                        lin.out_features, lin.layout, lin.scales_wire)
+                        lin.out_features, lin.layout, lin.scales_wire,
+                        wire_bits=lin.wire_bits)
 
 
 def _shard_dense_linear(lin: dict, mesh: Mesh, mode: str, axis: str = "tp") -> dict:

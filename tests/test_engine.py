@@ -122,7 +122,10 @@ def test_3bit_roundtrip(tmp_path):
     out = str(tmp_path / "packed3")
     save_packed(out, "llama", cfg, params, quantizers, spec)
     cfg2, params2 = hf_loader.load_params(out, dtype=jnp.float32, seqlen=SEQLEN)
-    assert params2["layers"][0]["self_attn"]["q_proj"].bits == 3
+    q = params2["layers"][0]["self_attn"]["q_proj"]
+    # INT3 checkpoints land on the 4-bit nibble DEVICE layout (wire stays 3)
+    assert q.wire_bits == 3 and q.bits == 4
+    assert q.to_wire()["qweight"].shape[0] == cfg.hidden_size * 3 // 32
 
 
 def test_observe_auto_upgrade(tmp_path):

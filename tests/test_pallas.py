@@ -135,7 +135,9 @@ def test_rms_norm_matches_jnp():
 def test_supports_gates():
     lin = _random_packed(128, 128, 4, 32)
     assert pmm.supports(lin)
-    # 3-bit with groups not word-aligned (gs % 32 != 0) -> XLA fallback
+    # 3-bit with gs % 32 != 0: the pure bit-plane layout needed whole words
+    # per group, but the round-5 nibble device layout (wire_bits=3, device
+    # bits=4) only needs gs % 8 — this shape now runs on the kernel
     rng = np.random.RandomState(0)
     codes = rng.randint(0, 8, size=(96, 128)).astype(np.uint32)
     qweight = packing.pack_rows(codes, 3)
@@ -145,15 +147,20 @@ def test_supports_gates():
     g_idx = (np.arange(96) // 16).astype(np.int32)
     lin3 = PackedLinear.from_wire(qweight, qzeros, scales, g_idx, bits=3,
                                   dtype=jnp.float32)
-    assert lin3.layout == "wire" and not pmm.supports(lin3)
+    assert lin3.bits == 4 and lin3.wire_bits == 3
+    assert lin3.layout == "tpu" and pmm.supports(lin3)
+    # the wire buffers survive the double re-layout byte-exactly
+    np.testing.assert_array_equal(lin3.to_wire()["qweight"], qweight)
 
 
 @pytest.mark.parametrize("m", [1, 8])
 def test_qmm_3bit_kernel(m):
-    """3-bit bit-plane TPU layout: kernel matches the XLA dequant oracle."""
+    """INT3 checkpoint on the nibble device layout (default): kernel matches
+    the XLA dequant oracle and to_wire restores the 3-bit buffers."""
     k, n, gs = 128, 128, 32
     lin = _random_packed(k, n, 3, gs, seed=33)
     assert lin.layout == "tpu" and pmm.supports(lin)
+    assert lin.bits == 4 and lin.wire_bits == 3  # nibble device layout
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
     want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
@@ -163,6 +170,25 @@ def test_qmm_3bit_kernel(m):
     # wire round-trip preserves the original 3-bit buffers
     wire = lin.to_wire()
     assert wire["qweight"].shape == (k * 3 // 32, n)
+
+
+@pytest.mark.parametrize("m", [1, 8])
+def test_qmm_3bit_planes_kernel(m, monkeypatch):
+    """GPTQ_TPU_INT3_PLANES=1 capacity mode: the pure 3-bit bit-plane device
+    layout (3.0 bits/weight in HBM, slower VPU unpack) still runs and
+    matches; its wire round-trip is byte-exact too."""
+    monkeypatch.setenv("GPTQ_TPU_INT3_PLANES", "1")
+    k, n, gs = 128, 128, 32
+    lin = _random_packed(k, n, 3, gs, seed=34)
+    assert lin.bits == 3 and lin.wire_bits is None
+    assert lin.layout == "tpu" and pmm.supports(lin)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.standard_normal((m, k)).astype(np.float32))
+    want = np.asarray(quant_matmul_xla(x, lin, dtype=jnp.float32))
+    got = np.asarray(pmm.quant_matmul_pallas(x, lin, interpret=True))
+    tol = 3e-2 * float(np.abs(want).max())
+    np.testing.assert_allclose(got, want, atol=tol, rtol=0)
+    assert lin.to_wire()["qweight"].shape == (k * 3 // 32, n)
 
 
 @pytest.mark.parametrize("bits", [2, 4, 8])
