@@ -149,14 +149,31 @@ def gptq_quantize(w, h, cfg: QuantConfig, blocksize: int = 128,
         w = w[:, perm]
         h = h[perm][:, perm]
 
-    # Damped Cholesky-inverse upper factor (gptq.py:158-164).
+    # Damped Cholesky-inverse upper factor (gptq.py:158-164). The solves run
+    # in COLUMN CHUNKS: XLA's TPU triangular_solve keeps every 128-row panel
+    # temp of the RHS live at once — a full-width identity RHS at 11008 cols
+    # peaked at 20 GB HLO temp and could not compile on a 16 GB chip (found
+    # by scripts/quantize7b_bench.py). Each RHS column solves independently,
+    # so chunking changes memory, not math.
     damp = percdamp * jnp.mean(jnp.diagonal(h))
     h = h + jnp.eye(cols, dtype=h.dtype) * damp
     chol = jax.lax.linalg.cholesky(h)
-    hinv = jax.lax.linalg.triangular_solve(
-        chol, jnp.eye(cols, dtype=h.dtype), left_side=True, lower=True)
-    hinv = jax.lax.linalg.triangular_solve(
-        chol, hinv, left_side=True, lower=True, transpose_a=True)
+
+    _SOLVE_CHUNK = 512
+
+    def _inv_from_chol(chol):
+        outs = []
+        for c0 in range(0, cols, _SOLVE_CHUNK):
+            span = min(_SOLVE_CHUNK, cols - c0)
+            rhs = jnp.eye(cols, span, k=-c0, dtype=h.dtype)
+            x = jax.lax.linalg.triangular_solve(
+                chol, rhs, left_side=True, lower=True)
+            x = jax.lax.linalg.triangular_solve(
+                chol, x, left_side=True, lower=True, transpose_a=True)
+            outs.append(x)
+        return jnp.concatenate(outs, axis=1)
+
+    hinv = _inv_from_chol(chol)
     hinv = jax.lax.linalg.cholesky(hinv, symmetrize_input=True)
     hinv = hinv.T  # upper factor U with Hinv = U^T U (torch cholesky upper=True)
 
@@ -170,6 +187,71 @@ def gptq_quantize(w, h, cfg: QuantConfig, blocksize: int = 128,
         scales.append(scale0)
         zeros.append(zero0)
     total_loss = jnp.zeros((), jnp.float32)
+
+    # Block loop as ONE lax.scan when the per-block segmentation is uniform
+    # (the production shapes: gs == -1, or gs <= blocksize with aligned
+    # boundaries). The trace-time-unrolled fallback below builds 1 full-width
+    # weight update per block — XLA's liveness over cols/128 unrolled blocks
+    # peaked at 20 GB HLO temp on a 4096x4096 7B layer (first observed by
+    # scripts/quantize7b_bench.py), while the scan carries a single aliased
+    # q_full buffer. The scan's error propagation is a full-width MASKED
+    # matmul (2x the unrolled tail flops — irrelevant offline; memory rules).
+    scan_ok = (cols % blocksize == 0
+               and (groupsize == -1
+                    or (gs <= blocksize and blocksize % gs == 0
+                        and cols % gs == 0)))
+    if scan_ok:
+        nb = cols // blocksize
+        grouped = groupsize != -1
+        segs = list(_segments(0, blocksize, gs if grouped else blocksize))
+        col_ids_full = jnp.arange(cols)[None, :]
+
+        def block_body(carry, bi):
+            q_full, total_loss = carry
+            i1 = bi * blocksize
+            w1 = jax.lax.dynamic_slice(q_full, (0, i1), (rows, blocksize))
+            hinv1 = jax.lax.dynamic_slice(hinv, (i1, i1),
+                                          (blocksize, blocksize))
+            err1 = jnp.zeros_like(w1)
+            sc_blk, ze_blk = [], []
+            scale_b, zero_b = scale0, zero0
+            for s_lo, s_hi, _ in segs:
+                if grouped:
+                    wg = jax.lax.dynamic_slice(q_full, (0, i1 + s_lo),
+                                               (rows, gs))
+                    scale_b, zero_b = find_params_weight(wg, cfg)
+                    sc_blk.append(scale_b)
+                    ze_blk.append(zero_b)
+                w1, e, l = _quantize_block(w1, hinv1, scale_b, zero_b, maxq,
+                                           s_lo, s_hi)
+                err1 = err1 + e
+                total_loss = total_loss + jnp.sum(l) / 2.0
+            q_full = jax.lax.dynamic_update_slice(q_full, w1, (0, i1))
+            # W[:, i2:] -= Err1 @ Hinv[i1:i2, i2:], as a full-width matmul
+            # with columns < i2 masked to zero (no dynamic-length slices)
+            hrow = jax.lax.dynamic_slice(hinv, (i1, 0), (blocksize, cols))
+            hrow = jnp.where(col_ids_full >= i1 + blocksize, hrow, 0.0)
+            q_full = q_full - jnp.matmul(err1, hrow, precision=_HI)
+            ys = (jnp.concatenate(sc_blk, axis=1),
+                  jnp.concatenate(ze_blk, axis=1)) if grouped else 0
+            return (q_full, total_loss), ys
+
+        (q_full, total_loss), ys = jax.lax.scan(
+            block_body, (q_full, total_loss),
+            jnp.arange(nb, dtype=jnp.int32))
+        if grouped:
+            sc_all, ze_all = ys  # (nb, rows, bs/gs) in block-major order
+            scales.append(jnp.swapaxes(sc_all, 0, 1).reshape(rows, -1))
+            zeros.append(jnp.swapaxes(ze_all, 0, 1).reshape(rows, -1))
+
+        g_idx = jnp.arange(cols, dtype=jnp.int32) // gs
+        if actorder:
+            invperm = jnp.argsort(perm)
+            q_full = q_full[:, invperm]
+            g_idx = g_idx[invperm]
+        scale_all = jnp.concatenate(scales, axis=1)
+        zero_all = jnp.concatenate(zeros, axis=1)
+        return GPTQResult(q_full, scale_all, zero_all, g_idx, total_loss)
 
     for i1 in range(0, cols, blocksize):
         i2 = min(i1 + blocksize, cols)
