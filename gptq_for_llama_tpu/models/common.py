@@ -212,6 +212,63 @@ def apply_kv_cache(past_kv, k, v):
 _warned_attn_skip = False
 
 
+def attention_block(past_kv, q, k, v, mask, scale=None):
+    """Cache update + attention for one arch layer: returns (attn_out, present).
+
+    The uniform entry point the four arch layers call in place of the
+    apply_kv_cache + sdpa pair. The default is the classic write-then-attend
+    pair; GPTQ_TPU_CACHE_IMPL='pallas' dispatches the dense-cache decode
+    step to the FOLD kernel instead (ops/pallas/attention.
+    fused_decode_attention(write=False)): attention reads the STALE prefix
+    (slots < offset) plus the current token's k/v folded in from registers,
+    and the row write stays a plain dynamic-update-slice feeding only the
+    scan carry.
+
+    Why fold is NOT the default (round-5 on-chip evidence, all at the fixed
+    down_proj tiling, bench_artifacts/r05/decode_variants_13b_path.json):
+    classic 12.62 ms/token vs fold 13.31 vs all-XLA 13.00 on 13B — the fold
+    form makes the cache a two-consumer buffer (kernel read + DUS write) and
+    XLA inserts extra full-cache copies inside the scan (400 vs 80 per
+    8-token iteration, scripts/fused_attn_hlo.py). An in-kernel ALIASED
+    write is worse still: XLA copies the whole cache for every aliased
+    pallas operand inside a loop (one bf16[1,256,40,128] copy per call,
+    fused_slope.json). The round-4 "cache write costs 2.6 ms" attribution
+    (decomp2_13b.json nocache delta) turned out to be a program-restructuring
+    artifact — the device trace puts all DUS fusions at 24.5 us/token
+    (trace_13b_default.json); the real cost hid in the down_proj GEMM tiling.
+
+    GPTQ_TPU_CACHE_IMPL: 'pallas' forces the fold kernel (interpret mode
+    off-TPU), anything else keeps the classic path.
+    """
+    import os
+    fused_ok = (past_kv is not None and not isinstance(past_kv[0], str)
+                and q.shape[1] == 1 and k.shape[1] == 1
+                and os.environ.get("GPTQ_TPU_ATTN_SKIP") != "1")
+    if fused_ok:
+        ck, cv = past_kv[0], past_kv[1]
+        use = os.environ.get("GPTQ_TPU_CACHE_IMPL", "") == "pallas"
+        interp = jax.default_backend() != "tpu"
+        if use:
+            from ..ops.pallas.attention import (fused_decode_attention,
+                                                supports_fused_decode)
+            b, _, h, d = q.shape
+            if supports_fused_decode(1, h, ck.shape[2], d, ck.shape[1],
+                                     ck.dtype.itemsize):
+                offset = past_kv[2]
+                wm = past_kv[3] if len(past_kv) > 3 else None
+                sc = scale if scale is not None else 1.0 / (d ** 0.5)
+                out, _, _ = fused_decode_attention(
+                    q, ck, cv, k, v, offset, sc, write_mask=wm,
+                    interpret=interp, write=False)
+                ck2, cv2 = update_kv_cache(ck, cv, k, v, offset,
+                                           write_mask=wm)
+                return out, (ck2, cv2)
+    k_eff, v_eff, present, off = apply_kv_cache(past_kv, k, v)
+    out = sdpa(q, k_eff, v_eff, mask, scale, decode_offset=off,
+               causal=past_kv is None)
+    return out, present
+
+
 def causal_mask(q_len: int, kv_len: int, dtype=jnp.float32):
     """Additive causal mask (q_len, kv_len); query i attends kv <= i + kv_len - q_len."""
     qi = jnp.arange(q_len)[:, None]

@@ -24,7 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_kv_cache, causal_mask, layer_norm,
+from .common import (activation, apply_kv_cache, attention_block, causal_mask, layer_norm,
                      row_parallel_apply, sdpa)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
@@ -101,9 +101,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     q = qkv[..., :h].reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = qkv[..., h:2 * h].reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = qkv[..., 2 * h:].reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
-                    causal=past_kv is None).reshape(b, s, -1)
+    attn_out, present = attention_block(past_kv, q, k, v, mask)
+    attn_out = attn_out.reshape(b, s, -1)
     o = row_parallel_apply(lp["attn"]["c_proj"], attn_out, tp_ctx)
     x = x + o
 

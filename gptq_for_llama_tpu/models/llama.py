@@ -19,7 +19,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_kv_cache, apply_rope, causal_mask,
+from .common import (activation, apply_kv_cache, attention_block, apply_rope, causal_mask,
                      rms_norm, rope_cos_sin, row_parallel_apply, sdpa)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
@@ -115,9 +115,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     cos, sin = rope if rope is not None else rope_cos_sin(
         positions, cfg.head_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin)
-    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
-                    causal=past_kv is None).reshape(b, s, -1)
+    attn_out, present = attention_block(past_kv, q, k, v, mask)
+    attn_out = attn_out.reshape(b, s, -1)
     o = row_parallel_apply(att["o_proj"], attn_out, tp_ctx)
     x = x + o
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_kv_cache, apply_rope, causal_mask,
+from .common import (activation, apply_kv_cache, attention_block, apply_rope, causal_mask,
                      layer_norm, rope_cos_sin, sdpa, row_parallel_apply)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
@@ -82,9 +82,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     cos, sin = rope if rope is not None else rope_cos_sin(
         positions, rotary_dim, cfg.rope_theta, dtype=x.dtype)
     q, k = apply_rope(q, k, cos, sin, rotary_dim=rotary_dim)
-    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
-                    causal=past_kv is None).reshape(b, s, -1)
+    attn_out, present = attention_block(past_kv, q, k, v, mask)
+    attn_out = attn_out.reshape(b, s, -1)
     attn_out_proj = row_parallel_apply(lp["attention"]["dense"], attn_out, tp_ctx)
 
     if cfg.parallel_residual:

@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import (activation, apply_kv_cache, causal_mask, layer_norm, sdpa, row_parallel_apply)
+from .common import (activation, apply_kv_cache, attention_block, causal_mask, layer_norm, sdpa, row_parallel_apply)
 from .config import ModelConfig
 from ..ops.linear import dense, linear_apply
 
@@ -90,9 +90,8 @@ def layer(cfg: ModelConfig, lp, x, positions, mask, past_kv=None, rope=None,
     q = linear_apply(att["q_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = linear_apply(att["k_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
     v = linear_apply(att["v_proj"], h).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k, v, present, decode_offset = apply_kv_cache(past_kv, k, v)
-    attn_out = sdpa(q, k, v, mask, decode_offset=decode_offset,
-                    causal=past_kv is None).reshape(b, s, -1)
+    attn_out, present = attention_block(past_kv, q, k, v, mask)
+    attn_out = attn_out.reshape(b, s, -1)
     o = row_parallel_apply(att["out_proj"], attn_out, tp_ctx)
     x = residual + o
     if not cfg.do_layer_norm_before:

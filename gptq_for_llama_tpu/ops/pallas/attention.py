@@ -188,6 +188,199 @@ def _attn_kernel_gqa(off_ref, q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref,
         o_ref[0] = (acc_ref[:] / l_ref[0][:, None]).astype(o_ref.dtype)
 
 
+def _fused_attn_kernel(off_ref, wm_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref,
+                       o_ref, ko_ref, vo_ref, acc_ref, m_ref, l_ref, *,
+                       scale: float, seq_block: int, ht: int, g: int,
+                       write: bool = True):
+    """Decode attention + IN-PLACE cache row write, one kernel.
+
+    Prefix slots (< off) stream from the cache blocks exactly like
+    _attn_kernel_gqa; the CURRENT token's k/v arrive as separate (1, Ht, D)
+    register inputs and are folded into the online softmax on the last grid
+    step — so attention never needs the cache row to be written first, and
+    the write itself happens here: the 8-row slab holding `off` is copied
+    from the resident block, the row inserted, and DMA'd back over the
+    ALIASED cache buffer (input_output_aliases). This removes the per-layer
+    XLA dynamic-update-slice pair that cost ~32 us/buffer/token on 13B
+    (bench_artifacts/r05/decomp2_13b.json, cache_probe.json: the DUS carries
+    a ~12 us floor even standalone — op count, not bytes, was the cost)."""
+    bi = pl.program_id(0)
+    si = pl.program_id(2)
+    off = off_ref[bi]
+
+    @pl.when(si == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    base = si * seq_block
+
+    def expand(blk):  # (.., Ht, D) kv heads -> q-head-major (.., Ht*G, D)
+        if g == 1:
+            return blk
+        return jnp.concatenate(
+            [blk[..., i:i + 1, :] for i in range(ht) for _ in range(g)],
+            axis=-2)
+
+    @pl.when(base < off)
+    def _():  # prefix blocks: slots strictly below the write position
+        q = q_ref[0].astype(jnp.float32)                     # (Ht*G, D)
+        k = expand(_load_f32(k_ref[0]))                      # (BS, Ht*G, D)
+        v = expand(_load_f32(v_ref[0]))
+        logits = jnp.sum(q[None, :, :] * k, axis=-1) * scale
+        kj = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 0) + base
+        logits = jnp.where(kj < off, logits, -jnp.inf)
+        m_blk = jnp.max(logits, axis=0)
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, m_blk)
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logits - m_new[None, :])
+        l_ref[0] = l_ref[0] * corr + jnp.sum(p, axis=0)
+        acc_ref[:] = acc_ref[:] * corr[:, None] \
+            + jnp.sum(p[:, :, None] * v, axis=0)
+        m_ref[0] = m_new
+
+    @pl.when(si == pl.num_programs(2) - 1)
+    def _():
+        # fold the current token in from registers, then finalize
+        q = q_ref[0].astype(jnp.float32)                     # (Ht*G, D)
+        kn = expand(kn_ref[0].astype(jnp.float32))           # (1, Ht*G, D)
+        vn = expand(vn_ref[0].astype(jnp.float32))
+        logit_cur = jnp.sum(q * kn[0], axis=-1) * scale      # (Ht*G,)
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, logit_cur)
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(logit_cur - m_new)
+        l = l_ref[0] * corr + p
+        acc = acc_ref[:] * corr[:, None] + p[:, None] * vn[0]
+        o_ref[0] = (acc / l[:, None]).astype(o_ref.dtype)
+        if not write:
+            return
+        # cache write: the 8-row slab containing `off` within the resident
+        # block (clamped kv_map guarantees this step holds block off//BS)
+        local = off % seq_block
+        slab0 = (local // 8) * 8
+        slab_k = k_ref[0, pl.dslice(slab0, 8)]               # (8, Ht, D)
+        slab_v = v_ref[0, pl.dslice(slab0, 8)]
+        ko_ref[0] = slab_k
+        vo_ref[0] = slab_v
+
+        @pl.when(wm_ref[bi] != 0)
+        def _():
+            r = local - slab0
+            ko_ref[0, pl.dslice(r, 1)] = kn_ref[0].astype(ko_ref.dtype)
+            vo_ref[0, pl.dslice(r, 1)] = vn_ref[0].astype(vo_ref.dtype)
+
+
+def supports_fused_decode(q_len: int, num_heads: int, num_kv_heads: int,
+                          head_dim: int, seq_len: int,
+                          itemsize: int = 2) -> bool:
+    """Gate for fused attention + cache write: decode attention's block plan
+    plus an 8-aligned seq axis for the write-back slab."""
+    return (seq_len % 8 == 0
+            and supports_decode_attention(q_len, num_heads, num_kv_heads,
+                                          head_dim, seq_len, itemsize))
+
+
+def fused_decode_attention(q, k_cache, v_cache, k_new, v_new, offset,
+                           scale: float, write_mask=None,
+                           interpret: bool = False, write: bool = True):
+    # NOT @jax.jit on purpose: a nested jit is a call boundary that XLA does
+    # not propagate the pallas input_output_aliases through — the caches get
+    # defensively copied and the in-place win evaporates. Callers are always
+    # inside the runner/serving step jit already.
+    # write=False: attention-only form (stale prefix + register fold, no
+    # cache output) — the caller writes the row separately. Used by the
+    # deferred-write path and perf probes.
+    """One-kernel decode step: attention over [cache[:off], (k_new, v_new)]
+    and an in-place write of k_new/v_new at slot `off`.
+
+    q, k_new, v_new: (B, 1, H|Hkv, D); caches: (B, S, Hkv, D); offset ()/(B,);
+    write_mask: optional (B,) bool — False rows skip the write (their slab is
+    copied back unchanged). Returns (out (B, 1, H, D), k_cache', v_cache') —
+    the caches are the SAME buffers, updated in place via aliasing.
+    """
+    b, _, h, d = q.shape
+    hkv = k_cache.shape[2]
+    s = k_cache.shape[1]
+    bs = _seq_block(s)
+    ht, g = _gqa_blocks(h, hkv, bs, d, k_cache.dtype.itemsize)
+    offs = jnp.broadcast_to(jnp.asarray(offset, jnp.int32).reshape(-1), (b,))
+    wm = (jnp.ones((b,), jnp.int32) if write_mask is None
+          else write_mask.astype(jnp.int32))
+
+    def kv_map(bi, hi, si, off_ref, wm_ref):
+        sb = jnp.minimum(si, off_ref[bi] // bs)
+        return (bi, sb, hi, 0)
+
+    def row_map(bi, hi, si, off_ref, wm_ref):
+        return (bi, 0, hi, 0)
+
+    def slab_map(bi, hi, si, off_ref, wm_ref):
+        return (bi, off_ref[bi] // 8, hi, 0)
+
+    htq = ht * g
+    grid = (b, hkv // ht, s // bs)
+    if write:
+        kernel = functools.partial(_fused_attn_kernel, scale=scale,
+                                   seq_block=bs, ht=ht, g=g)
+        out_specs = [
+            pl.BlockSpec((1, htq, d),
+                         lambda bi, hi, si, off, wm: (bi, hi, 0)),
+            pl.BlockSpec((1, 8, ht, d), slab_map),
+            pl.BlockSpec((1, 8, ht, d), slab_map),
+        ]
+        out_shape = [jax.ShapeDtypeStruct((b, h, d), q.dtype),
+                     jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                     jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)]
+        # operand indices count the scalar-prefetch args:
+        # offs=0, wm=1, q=2, k_cache=3, v_cache=4, k_new=5, v_new=6
+        aliases = {3: 1, 4: 2}
+    else:
+        def kernel(off_ref, wm_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref,
+                   o_ref, acc_ref, m_ref, l_ref):
+            return _fused_attn_kernel(
+                off_ref, wm_ref, q_ref, k_ref, v_ref, kn_ref, vn_ref,
+                o_ref, None, None, acc_ref, m_ref, l_ref, scale=scale,
+                seq_block=bs, ht=ht, g=g, write=False)
+
+        out_specs = [pl.BlockSpec((1, htq, d),
+                                  lambda bi, hi, si, off, wm: (bi, hi, 0))]
+        out_shape = [jax.ShapeDtypeStruct((b, h, d), q.dtype)]
+        aliases = {}
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, htq, d),
+                             lambda bi, hi, si, off, wm: (bi, hi, 0)),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+                pl.BlockSpec((1, bs, ht, d), kv_map),
+                pl.BlockSpec((1, 1, ht, d), row_map),
+                pl.BlockSpec((1, 1, ht, d), row_map),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((htq, d), jnp.float32),
+                            pltpu.VMEM((1, htq), jnp.float32),
+                            pltpu.VMEM((1, htq), jnp.float32)],
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(offs, wm, q.reshape(b, h, d), k_cache, v_cache,
+      k_new.astype(k_cache.dtype).reshape(b, 1, hkv, d),
+      v_new.astype(v_cache.dtype).reshape(b, 1, hkv, d))
+    if not write:
+        return res[0].reshape(b, 1, h, d), k_cache, v_cache
+    out, ko, vo = res
+    return out.reshape(b, 1, h, d), ko, vo
+
+
 def supports_paged_decode(block_size: int, num_heads: int, num_kv_heads: int,
                           head_dim: int, itemsize: int = 2) -> bool:
     return (block_size % 8 == 0 and head_dim % 128 == 0
