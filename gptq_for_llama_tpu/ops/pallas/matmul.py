@@ -166,14 +166,17 @@ def _ranked_blocks(k: int, n: int, groupsize: int, bits: int,
     (_best_blocks) and the measured autotuner's candidate set
     (autotune.candidates)."""
     g = k // groupsize
+    # every lane-aligned tiling that divides N, not just powers of two —
+    # N=13824 (13B MLP) has no pow2 divisor above 512, but its natural
+    # 768/1536 tilings cut the grid-step count 3x (round-5: step count, not
+    # bandwidth, is what degrades in-model perf; see _race's tie resolution)
+    bns = [b for b in range(128, min(n, 8192) + 1, 128) if n % b == 0]
     out = []
     for bg in (8, 16, 32):
         if g % bg:
             continue
         rows = bg * groupsize * bits // 32
-        for bn in (2048, 1024, 512, 256, 128):
-            if n % bn:
-                continue
+        for bn in bns:
             tile = rows * bn * 4 * n_weights
             if tile > _QW_TILE_BYTES:
                 continue

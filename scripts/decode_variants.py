@@ -50,6 +50,11 @@ VARIANTS = {
     "down_16_512": {"GPTQ_TPU_TUNE_OVERRIDE": "fwd:K14336:N5120=16,512"},
     "down_8_512": {"GPTQ_TPU_TUNE_OVERRIDE": "fwd:K14336:N5120=8,512"},
     "down_16_256": {"GPTQ_TPU_TUNE_OVERRIDE": "fwd:K14336:N5120=16,256"},
+    # 13B fused-MLP tiling sweep (non-pow2 bn now enumerated)
+    "mlp_8_768": {"GPTQ_TPU_TUNE_OVERRIDE": "mlp:K5120:N13824=8,768"},
+    "mlp_8_1152": {"GPTQ_TPU_TUNE_OVERRIDE": "mlp:K5120:N13824=8,1152"},
+    "mlp_8_1536": {"GPTQ_TPU_TUNE_OVERRIDE": "mlp:K5120:N13824=8,1536"},
+    "mlp_8_2304": {"GPTQ_TPU_TUNE_OVERRIDE": "mlp:K5120:N13824=8,2304"},
     # attention/cache path comparison at the fixed down config
     "d8k_fold": {"GPTQ_TPU_TUNE_OVERRIDE": "fwd:K14336:N5120=8,1024"},
     "d8k_classic": {"GPTQ_TPU_TUNE_OVERRIDE": "fwd:K14336:N5120=8,1024",

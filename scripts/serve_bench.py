@@ -14,6 +14,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+
+try:  # persistent compile cache: grid reruns skip each engine's big compiles
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_bench_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import bench as benchmod
 from gptq_for_llama_tpu.runtime.serve import GenRequest, ServingEngine
@@ -103,6 +112,14 @@ def main():
                "tok_per_s": round(total / dt, 1)}
         row.update(engine.stats())  # ttft/latency p50/p95 over timed reqs
         rows.append(row)
+        if args.json:  # write incrementally: a timeout must not lose rows
+            import json as _json
+            os.makedirs(os.path.dirname(args.json) or ".", exist_ok=True)
+            with open(args.json, "w") as f:
+                _json.dump({"note": "aggregate generated tok/s incl. "
+                            "prefill work, greedy, 7B INT4-g128 "
+                            "random-packed weights", "rows": rows}, f,
+                           indent=1)
         stage(f"slots={slots} span={span} paged={paged} kv={kv} plen={plen}: "
               f"{total} tokens in {dt:.1f}s = {total / dt:.1f} tok/s "
               f"aggregate, ttft p50={row.get('ttft_p50_s')}s "
