@@ -52,3 +52,19 @@ tail -3 $L/quantize7b.log >&2
 
 echo "=== r05 capture done ===" >&2
 for f in $L/*.json; do echo "$f: $(head -c 200 $f)"; done
+
+# ---- round-5 second capture wave (after the decode-perf work) -------------
+# Decode perf forensics + fixes (see bench_artifacts/r05/ for artifacts):
+#   BENCH_MODEL=13b python scripts/attn13b_probe2.py   # production decomp
+#   BENCH_MODEL=13b python scripts/decode_trace.py     # xplane attribution
+#   BENCH_MODEL=13b python scripts/decode_variants.py  # in-model sweeps
+#   python scripts/fused_slope.py                      # aliasing forensics
+# Official re-benches at the fixed tilings:
+#   BENCH_MODEL=13b python bench.py                    # 82.2 tok/s, 0.906
+#   BENCH_MODEL=13b BENCH_BITS=3 python bench.py       # 82.2 tok/s, 0.907
+#   python bench.py                                    # 7B 157.1, 0.907
+# Realistic serving grid (TTFT p50/p95, long prompts, fp8 at equal slots):
+#   python scripts/serve_bench.py --grid "24:32:1:bf16:16:0;24:32:1:fp8:16:0;8:32:1:bf16:512:0;8:32:1:bf16:512:256;8:32:1:fp8:512:256;4:32:1:bf16:2048:256;4:32:1:fp8:2048:256" \
+#     --max-new 64 --json bench_artifacts/r05/serve_r05.json
+# 7B-scale GPTQ wall clock (verdict item 8):
+#   python scripts/quantize7b_bench.py --out bench_artifacts/r05/quantize_7b.json
